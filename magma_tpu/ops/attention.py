@@ -1,0 +1,133 @@
+"""Multi-head attention ops: causal (train/prefill) and KV-cache decode.
+
+Replaces the CUDA attention inside the reference's HF GPT-Neo fork
+(magma/language_model.py:27-45).  Two interchangeable implementations:
+
+* ``impl="xla"``   — einsum + masked softmax.  Materializes the (s, s)
+  scores tile; fine for short sequences, tests, and as the numerics
+  reference for the Pallas kernel.
+* ``impl="flash"`` — tiled Pallas flash-attention kernel
+  (magma_tpu/ops/flash_attention.py) with online softmax; never
+  materializes the full scores matrix.  Used on TPU for training/prefill.
+
+All ops take (b, s, h, hd) layout and return the same; fp32 softmax
+statistics regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)  # avoids exp(-inf - -inf) NaN
+
+
+def _causal_mask(s_q: int, s_k: int, q_offset) -> jnp.ndarray:
+    """Boolean (s_q, s_k) mask, True where attention is allowed.
+
+    q position i (global index q_offset + i) may attend to k position j
+    iff j <= q_offset + i.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 0) + q_offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 1)
+    return cols <= rows
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    causal: bool = True,
+    q_offset=0,
+    kv_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference attention in plain XLA.
+
+    q: (b, s_q, h, hd); k, v: (b, s_k, h, hd); kv_len: optional (b,) true
+    key lengths for right-padded batches.
+    """
+    b, s_q, h, hd = q.shape
+    s_k = k.shape[1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    mask = None
+    if causal:
+        mask = _causal_mask(s_q, s_k, q_offset)[None, None]
+    if kv_len is not None:
+        klmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, s_k), 1) < kv_len[:, None]
+        )[:, None, None, :]
+        mask = klmask if mask is None else jnp.logical_and(mask, klmask)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def causal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    impl: str = "flash",
+    q_offset=0,
+    kv_len: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal multi-head attention with optional right-padding mask."""
+    if impl == "flash":
+        try:
+            from magma_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(
+                q, k, v, scale=scale, causal=True, kv_len=kv_len,
+                q_offset=q_offset, interpret=interpret,
+            )
+        except NotImplementedError:
+            pass  # shapes unsupported by the kernel -> XLA fallback
+    return xla_attention(
+        q, k, v, scale=scale, causal=True, q_offset=q_offset, kv_len=kv_len
+    )
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cur_len: jnp.ndarray,
+    *,
+    scale: float,
+) -> jnp.ndarray:
+    """Single-token attention against a fixed-shape KV cache.
+
+    q: (b, 1, h, hd); k_cache/v_cache: (b, max_len, h, hd); cur_len: (b,) or
+    scalar — number of valid cache entries (the current token's K/V must
+    already be written).  Replaces the HF past_key_values step in the
+    reference decode loop (magma/sampling.py:87-90).
+
+    One (b, h, 1, max_len) matmul — small enough that XLA's fused path is
+    at speed-of-light (HBM-bandwidth-bound on reading the cache).
+    """
+    b, _, h, hd = q.shape
+    max_len = k_cache.shape[1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    cur_len = jnp.asarray(cur_len)
+    if cur_len.ndim == 0:
+        cur_len = jnp.broadcast_to(cur_len, (b,))
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1) < cur_len[:, None]
+    )[:, None, None, :]
+    scores = jnp.where(valid, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v_cache)
