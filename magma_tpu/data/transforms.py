@@ -1,0 +1,142 @@
+"""Host-side image transforms (PIL -> numpy), feeding the device pipeline.
+
+Parity target: magma/transforms.py.  Two pipelines:
+
+* **CLIP encoders** (transforms.py:121-134): deterministic bicubic resize +
+  center crop (or pad) + CLIP normalize.  Here the PIL image is decoded to
+  a uint8 array on the host and the resize/crop/normalize run as a jitted
+  XLA graph on device (ops/preprocess.py) — the TPU-native replacement for
+  torchvision.
+* **non-CLIP encoders** (transforms.py:42-84): DALL-E-style RandCropResize
+  + random horizontal flip at train time.  These are per-sample random PIL
+  ops and stay on host, emitting float32 arrays.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable
+
+import numpy as np
+
+from magma_tpu.ops.preprocess import clip_preprocess
+
+
+def _to_rgb(img):
+    return img.convert("RGB") if img.mode != "RGB" else img
+
+
+def _pil_to_uint8(img) -> np.ndarray:
+    return np.asarray(_to_rgb(img), dtype=np.uint8)
+
+
+def clip_transform(n_px: int, use_pad: bool = False) -> Callable:
+    """PIL image -> (1, 3, n_px, n_px) float32 numpy, CLIP-normalized.
+
+    The heavy lifting (bicubic resize, crop, normalize) is the jitted XLA
+    graph; use_pad pads-to-square first instead of center-cropping
+    (transforms.py:94-118 pad_img path).
+    """
+
+    def fn(img):
+        img = _to_rgb(img)
+        if use_pad:
+            from PIL import Image
+
+            w, h = img.size
+            ratio = n_px / max(w, h)
+            img = img.resize(
+                (max(1, int(w * ratio)), max(1, int(h * ratio))),
+                Image.BICUBIC,
+            )
+            canvas = Image.new("RGB", (n_px, n_px))
+            canvas.paste(
+                img, ((n_px - img.size[0]) // 2, (n_px - img.size[1]) // 2)
+            )
+            img = canvas
+        arr = _pil_to_uint8(img)[None]  # (1, h, w, 3)
+        return np.asarray(clip_preprocess(arr, n_px))
+
+    return fn
+
+
+class RandCropResize:
+    """Random crop -> random resize -> random crop (arXiv:2102.12092 augs).
+
+    Parity: transforms.py:42-61.
+    """
+
+    def __init__(self, target_size: int):
+        self.target_size = target_size
+
+    def _pad_to_size(self, img, size):
+        from PIL import ImageOps
+
+        dw, dh = size - img.size[0], size - img.size[1]
+        if dw <= 0 and dh <= 0:
+            return img
+        dw, dh = max(dw, 0), max(dh, 0)
+        return ImageOps.expand(img, (dw // 2, dh // 2, dw - dw // 2, dh - dh // 2))
+
+    def _random_crop(self, img, size):
+        w, h = img.size
+        left = random.randint(0, max(0, w - size))
+        top = random.randint(0, max(0, h - size))
+        return img.crop((left, top, left + size, top + size))
+
+    def __call__(self, img):
+        from PIL import Image
+
+        img = self._pad_to_size(img, self.target_size)
+        d_min = min(img.size)
+        img = self._random_crop(img, d_min)
+        t_min = min(d_min, round(9 / 8 * self.target_size))
+        t_max = min(d_min, round(12 / 8 * self.target_size))
+        t = random.randint(t_min, t_max + 1)
+        ratio = t / min(img.size)
+        img = img.resize(
+            (max(1, round(img.size[0] * ratio)), max(1, round(img.size[1] * ratio))),
+            Image.BICUBIC,
+        )
+        if min(img.size) < self.target_size:
+            ratio = self.target_size / min(img.size)
+            img = img.resize(
+                (
+                    max(self.target_size, round(img.size[0] * ratio)),
+                    max(self.target_size, round(img.size[1] * ratio)),
+                ),
+                Image.BICUBIC,
+            )
+        return self._random_crop(img, self.target_size)
+
+
+def train_transform(image_size: int) -> Callable:
+    """Non-CLIP train-time pipeline (transforms.py:64-84): RGB convert,
+    RandCropResize, random hflip, to float array in [0,1]."""
+    rcr = RandCropResize(image_size)
+
+    def fn(img):
+        img = _to_rgb(img)
+        img = rcr(img)
+        arr = _pil_to_uint8(img).astype(np.float32) / 255.0
+        if random.random() < 0.5:
+            arr = arr[:, ::-1]
+        return arr.transpose(2, 0, 1)[None]  # (1, 3, H, W)
+
+    return fn
+
+
+def get_transforms(
+    image_size: int,
+    encoder_name: str,
+    input_resolution: int = None,
+    use_extra_transforms: bool = False,
+) -> Callable:
+    """Transform factory.  Parity: transforms.py:64-84 + get_transforms
+    dispatch in magma/magma.py:66-70: CLIP encoders use the deterministic
+    CLIP preprocess at the encoder's native resolution; others use the
+    random-crop train pipeline at config.image_size."""
+    if "clip" in encoder_name:
+        assert input_resolution is not None
+        return clip_transform(input_resolution)
+    return train_transform(image_size)

@@ -1,0 +1,330 @@
+"""GPT-J decoder in functional JAX, layer-scanned, TPU-first.
+
+Parity target: the reference LM — GPT-J 6B built as a GPT-Neo-fork model
+with 28 layers, 16 heads, hidden 4096, vocab 50400 (resized to 50258 after
+the <|image|> token, magma/magma.py:50), rotary dim 64, the GPT-J parallel
+attention+FFN block layout, and tied input/output embeddings
+(magma/language_model.py:12-45).
+
+TPU-native design decisions (vs a torch translation):
+
+* **Parameters are a pytree** with all 28 blocks *stacked on a leading
+  layer axis*, consumed by ``lax.scan`` — one compiled block regardless of
+  depth, O(1) compile time, natural per-layer remat, and uniform sharding
+  specs.
+* **Adapters live in the pytree from init** (see models/adapters.py) —
+  no runtime module mutation.
+* **Attention** dispatches to the Pallas flash kernel (ops/flash_attention)
+  or the XLA reference path; fp32 softmax stats either way.
+* **KV cache** is a fixed-shape bf16 pytree (layer-stacked) updated with
+  dynamic slices inside the scan — no host sync in the decode loop.
+* **Vocab padding**: the embedding/logit dimension is padded up to a
+  multiple of 128 so the final matmul tiles the MXU perfectly; padded
+  logits are masked to -inf by consumers (sampling / loss).
+* bf16 compute, fp32 layernorm statistics, ``jax.checkpoint`` for remat
+  (replaces language_model.py:23 gradient_checkpointing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from magma_tpu.models.adapters import AdapterSpec, apply_adapter, init_adapter
+from magma_tpu.ops.attention import causal_attention, decode_attention
+from magma_tpu.ops.rotary import apply_rotary, rotary_sincos
+from magma_tpu.utils import round_up
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTJConfig:
+    """Static LM architecture config (hashable — safe as a jit static arg)."""
+
+    n_layers: int = 28
+    n_heads: int = 16
+    d_model: int = 4096
+    d_ff: int = 16384
+    rotary_dim: int = 64
+    vocab_size: int = 50258        # 50257 GPT-2 + <|image|>
+    max_seq_len: int = 2048
+    ln_eps: float = 1e-5
+    attn_out_bias: bool = True     # GPT-Neo-fork out_proj keeps its bias
+    scale_attn: bool = True        # scores / sqrt(head_dim)
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    attention_impl: str = "flash"
+    remat: bool = True
+    mlp_adapter: Optional[AdapterSpec] = None
+    attn_adapter: Optional[AdapterSpec] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return round_up(self.vocab_size, 128)
+
+    @classmethod
+    def gptj_6b(cls, **overrides) -> "GPTJConfig":
+        """The MAGMA LM: GPT-J 6B dims per magma/language_model.py:12-24."""
+        return cls(**overrides)
+
+    @classmethod
+    def tiny(cls, **overrides) -> "GPTJConfig":
+        """Small config for tests: same structure, toy dims."""
+        base = dict(
+            n_layers=2, n_heads=4, d_model=128, d_ff=512, rotary_dim=16,
+            vocab_size=50258, max_seq_len=256, attention_impl="xla",
+            remat=False,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: GPTJConfig) -> Dict:
+    """Random-init parameter pytree (blocks stacked on leading layer axis).
+
+    Matches HF's default N(0, 0.02) init; the reference loads with
+    no_init_weights and then a checkpoint anyway (language_model.py:43-44).
+    """
+    L, D, F, Vp = cfg.n_layers, cfg.d_model, cfg.d_ff, cfg.padded_vocab_size
+    pd = cfg.param_dtype
+    k = iter(jax.random.split(rng, 16))
+
+    def normal(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(pd)
+
+    params = {
+        "wte": normal(next(k), (Vp, D)),
+        "blocks": {
+            "ln_1": {
+                "scale": jnp.ones((L, D), pd),
+                "bias": jnp.zeros((L, D), pd),
+            },
+            "attn": {
+                "q": normal(next(k), (L, D, D)),
+                "k": normal(next(k), (L, D, D)),
+                "v": normal(next(k), (L, D, D)),
+                "o": normal(next(k), (L, D, D)),
+            },
+            "mlp": {
+                "fc_in": {
+                    "kernel": normal(next(k), (L, D, F)),
+                    "bias": jnp.zeros((L, F), pd),
+                },
+                "fc_out": {
+                    "kernel": normal(next(k), (L, F, D)),
+                    "bias": jnp.zeros((L, D), pd),
+                },
+            },
+        },
+        "ln_f": {"scale": jnp.ones((D,), pd), "bias": jnp.zeros((D,), pd)},
+    }
+    if cfg.attn_out_bias:
+        params["blocks"]["attn"]["o_bias"] = jnp.zeros((L, D), pd)
+    if cfg.mlp_adapter is not None:
+        params["blocks"]["adapter_mlp"] = init_adapter(
+            next(k), cfg.mlp_adapter, D, L, pd
+        )
+    if cfg.attn_adapter is not None:
+        params["blocks"]["adapter_attn"] = init_adapter(
+            next(k), cfg.attn_adapter, D, L, pd
+        )
+    return params
+
+
+def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
+    """Fixed-shape KV cache pytree: (L, b, max_len, h, hd) in bf16."""
+    shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, jnp.bfloat16),
+        "v": jnp.zeros(shape, jnp.bfloat16),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jnp.ndarray, p: Dict, eps: float, out_dtype) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _block(
+    cfg: GPTJConfig,
+    bp: Dict,                       # single-layer block params (unstacked)
+    x: jnp.ndarray,                 # (b, s, D)
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    kv_len: Optional[jnp.ndarray],
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_index: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """One GPT-J block: parallel attention + FFN off a single layernorm.
+
+    Modes:
+      * cache_kv None                  — training / no-cache forward.
+      * cache_kv set, cache_index set  — cache in use.  If s > 1 this is a
+        prefill (writes K/V at offset cache_index); if s == 1, a decode
+        step (reads the whole cache).
+    """
+    b, s, D = x.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    cdt = cfg.compute_dtype
+    scale = (1.0 / hd ** 0.5) if cfg.scale_attn else 1.0
+
+    u = _layer_norm(x, bp["ln_1"], cfg.ln_eps, cdt)
+
+    # --- attention branch ---
+    q = jnp.dot(u, bp["attn"]["q"].astype(cdt)).reshape(b, s, h, hd)
+    kk = jnp.dot(u, bp["attn"]["k"].astype(cdt)).reshape(b, s, h, hd)
+    v = jnp.dot(u, bp["attn"]["v"].astype(cdt)).reshape(b, s, h, hd)
+    q = apply_rotary(q, sin, cos, cfg.rotary_dim)
+    kk = apply_rotary(kk, sin, cos, cfg.rotary_dim)
+
+    new_cache = None
+    if cache_kv is None:
+        attn = causal_attention(
+            q, kk, v, scale=scale, impl=cfg.attention_impl, kv_len=kv_len
+        )
+    else:
+        k_cache, v_cache = cache_kv
+        idx = cache_index.astype(jnp.int32)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, kk.astype(k_cache.dtype), (0, idx, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, idx, 0, 0)
+        )
+        new_cache = (k_cache, v_cache)
+        if s > 1:
+            # prefill: keys are the just-written prompt positions
+            attn = causal_attention(
+                q, kk, v, scale=scale, impl=cfg.attention_impl,
+                kv_len=kv_len, q_offset=0,
+            )
+        else:
+            # single-token decode against the full cache
+            cur_len = idx + 1
+            attn = decode_attention(
+                q, k_cache.astype(cdt), v_cache.astype(cdt), cur_len,
+                scale=scale,
+            )
+
+    a = jnp.dot(attn.reshape(b, s, D), bp["attn"]["o"].astype(cdt))
+    if "o_bias" in bp["attn"]:
+        a = a + bp["attn"]["o_bias"].astype(cdt)
+    a = apply_adapter(bp.get("adapter_attn"), cfg.attn_adapter, u, a, cdt)
+
+    # --- mlp branch (parallel, same LN output) ---
+    m = jnp.dot(u, bp["mlp"]["fc_in"]["kernel"].astype(cdt))
+    m = m + bp["mlp"]["fc_in"]["bias"].astype(cdt)
+    m = jax.nn.gelu(m, approximate=True)
+    m = jnp.dot(m, bp["mlp"]["fc_out"]["kernel"].astype(cdt))
+    m = m + bp["mlp"]["fc_out"]["bias"].astype(cdt)
+    m = apply_adapter(bp.get("adapter_mlp"), cfg.mlp_adapter, u, m, cdt)
+
+    return x + a + m, new_cache
+
+
+def _run_blocks(
+    cfg: GPTJConfig,
+    blocks: Dict,
+    x: jnp.ndarray,
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    kv_len: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
+
+    if cache is None:
+
+        def body(carry, bp):
+            y, _ = _block(cfg, bp, carry, sin, cos, kv_len, None, None)
+            return y, None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x, None
+
+    def body(carry, layer_in):
+        bp, k_c, v_c = layer_in
+        y, new_kv = _block(
+            cfg, bp, carry, sin, cos, kv_len, (k_c, v_c), cache_index
+        )
+        return y, new_kv
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (blocks, cache["k"], cache["v"]))
+    return x, {"k": k_new, "v": v_new}
+
+
+def forward(
+    cfg: GPTJConfig,
+    params: Dict,
+    inputs_embeds: jnp.ndarray,       # (b, s, D)
+    *,
+    positions: Optional[jnp.ndarray] = None,
+    kv_len: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    remat: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Full LM forward from embeddings.  Returns (logits fp32, new cache).
+
+    ``inputs_embeds`` mirrors the reference's inputs_embeds path
+    (magma/magma.py:270, sampling.py:81-85), which MAGMA uses because image
+    prefixes are not token ids.
+    """
+    b, s, D = inputs_embeds.shape
+    cdt = cfg.compute_dtype
+    x = inputs_embeds.astype(cdt)
+
+    if positions is None:
+        start = 0 if cache_index is None else cache_index
+        positions = jnp.arange(s)[None, :] + jnp.asarray(start)[None]
+        positions = jnp.broadcast_to(positions.reshape(1, s), (b, s))
+    sin, cos = rotary_sincos(positions, cfg.rotary_dim)
+
+    remat = cfg.remat if remat is None else remat
+    x, new_cache = _run_blocks(
+        cfg, params["blocks"], x, sin, cos,
+        kv_len=kv_len, cache=cache, cache_index=cache_index, remat=remat,
+    )
+
+    x = _layer_norm(x, params["ln_f"], cfg.ln_eps, cdt)
+    # tied embeddings (GPT-Neo-fork semantics): logits = h @ wte^T
+    logits = jnp.dot(
+        x, params["wte"].astype(cdt).T, preferred_element_type=jnp.float32
+    )
+    return logits, new_cache
+
+
+def embed_tokens(cfg: GPTJConfig, params: Dict, ids: jnp.ndarray) -> jnp.ndarray:
+    """Token ids -> word embeddings (the reference's word_embedding,
+    magma/magma.py:54)."""
+    return jnp.take(params["wte"], ids, axis=0).astype(cfg.compute_dtype)
+
+
+def logits_mask(cfg: GPTJConfig) -> jnp.ndarray:
+    """Boolean (padded_vocab,) — True for real vocab entries."""
+    return jnp.arange(cfg.padded_vocab_size) < cfg.vocab_size

@@ -1,0 +1,304 @@
+"""Magma model facade: LM + tokenizer + ImagePrefix + adapters.
+
+Parity target: magma/magma.py:29-301 — the same public API
+(``Magma(config)``, ``preprocess_inputs``, ``embed``, ``forward``,
+``generate``, ``from_checkpoint``) over a functional core:
+
+* parameters live in ``self.params = {"lm": ..., "image_prefix": ...}``
+  (a pytree), batch-norm statistics in ``self.state``,
+* adapters are declared in the LM config at construction (the reference
+  mutates modules via setattr, magma.py:102-174),
+* freezing is an explicit boolean mask pytree (``trainable_mask()``) —
+  implementing the *intended* semantics of the reference's freeze block
+  (magma.py:92-100, which as written never sets requires_grad=False; see
+  SURVEY.md §3 quirks): frozen LM, trainable adapters + image prefix, the
+  encoder trainable unless freeze_img_encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magma_tpu.config import MultimodalConfig
+from magma_tpu.models import gptj, image_prefix as ip_mod
+from magma_tpu.models.adapters import AdapterSpec
+from magma_tpu.ops.sampling import generate_tokens, strip_after_eos
+from magma_tpu.tokenizer import get_tokenizer
+from magma_tpu.training.labels import build_labels, causal_lm_loss
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+def build_lm_config(config: MultimodalConfig) -> gptj.GPTJConfig:
+    """MultimodalConfig -> GPTJConfig, wiring adapter_config
+    (magma/magma.py:73-90) into the block definition."""
+    mlp_spec = attn_spec = None
+    ac = config.adapter_config or {}
+    if ac.get("mlp"):
+        mlp_spec = AdapterSpec.from_dict(ac["mlp"])
+    if ac.get("attention"):
+        attn_spec = AdapterSpec.from_dict(ac["attention"])
+
+    kwargs = dict(
+        compute_dtype=_dtype(config.compute_dtype),
+        attention_impl=config.attention_impl,
+        remat=config.remat,
+        mlp_adapter=mlp_spec,
+        attn_adapter=attn_spec,
+    )
+    if config.lm_overrides:
+        kwargs.update(config.lm_overrides)
+    return gptj.GPTJConfig.gptj_6b(**kwargs)
+
+
+def build_prefix_config(
+    config: MultimodalConfig, lm_cfg: gptj.GPTJConfig
+) -> ip_mod.ImagePrefixConfig:
+    overrides = config.encoder_overrides or {}
+    return ip_mod.ImagePrefixConfig(
+        encoder_name=config.encoder_name,
+        out_dim=lm_cfg.d_model,
+        image_seq_len=config.image_seq_len,
+        dropout_prob=config.image_embed_dropout_prob,
+        use_layernorm=config.use_image_embed_layernorm,
+        encoder_overrides=tuple(sorted(overrides.items())) or None,
+        compute_dtype=_dtype(config.compute_dtype),
+    )
+
+
+class Magma:
+    """Multimodal VLM facade.  See module docstring."""
+
+    def __init__(
+        self,
+        config: Union[str, Path, MultimodalConfig],
+        rng: Union[int, jax.Array] = 0,
+        init_weights: bool = True,
+    ):
+        if isinstance(config, (str, Path)):
+            config = MultimodalConfig.from_yml(config)
+        assert isinstance(config, MultimodalConfig)
+        self.config = config
+
+        self.lm_config = build_lm_config(config)
+        self.seq_len = self.lm_config.max_seq_len
+        self.tokenizer = get_tokenizer("gpt2", sequence_length=self.seq_len)
+        self.image_token = self.tokenizer.cls_token_id
+        self.eos_token = self.tokenizer.eos_token_id
+
+        self.prefix_config = build_prefix_config(config, self.lm_config)
+        self.image_prefix_seq_len = self.prefix_config.out_seq_len
+
+        from magma_tpu.data.transforms import get_transforms
+
+        self.transforms = get_transforms(
+            config.image_size,
+            config.encoder_name,
+            input_resolution=self.prefix_config.input_resolution,
+        )
+
+        self.params = None
+        self.state = None
+        if init_weights:
+            if isinstance(rng, int):
+                rng = jax.random.PRNGKey(rng)
+            k_lm, k_ip = jax.random.split(rng)
+            ip_params, ip_stats = ip_mod.init_params(k_ip, self.prefix_config)
+            self.params = {
+                "lm": gptj.init_params(k_lm, self.lm_config),
+                "image_prefix": ip_params,
+            }
+            self.state = {"image_prefix": ip_stats}
+
+    # ------------------------------------------------------------------
+    # Freezing policy
+    # ------------------------------------------------------------------
+    def trainable_mask(self):
+        """Boolean pytree: True = trainable.  Implements the intended
+        freezing semantics (frozen LM except adapters; image prefix
+        trainable; encoder per freeze_img_encoder)."""
+        cfg = self.config
+
+        def mask_fn(path, leaf):
+            keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+            joined = "/".join(keys)
+            if joined.startswith("lm"):
+                if "adapter" in joined:
+                    return True
+                return not cfg.freeze_lm
+            if joined.startswith("image_prefix/enc"):
+                return not cfg.freeze_img_encoder
+            return True  # image_prefix proj / ln
+
+        return jax.tree_util.tree_map_with_path(mask_fn, self.params)
+
+    # ------------------------------------------------------------------
+    # Inference API
+    # ------------------------------------------------------------------
+    def preprocess_inputs(self, input_list: list, embed: bool = True):
+        """Strings -> token arrays; ImageInputs -> transformed image
+        arrays; optionally embed.  Parity: magma/magma.py:176-193."""
+        from magma_tpu.data.image_input import ImageInput
+
+        out = list(input_list)
+        for i, inp in enumerate(out):
+            if isinstance(inp, str):
+                out[i] = self.tokenizer.encode(inp)
+            elif isinstance(inp, ImageInput):
+                out[i] = inp.get_transformed_image(transform_fn=self.transforms)
+            elif isinstance(inp, (np.ndarray, jnp.ndarray)):
+                pass  # already a tensor
+            else:
+                raise Exception(f"Invalid input type:{type(inp)}")
+        if embed:
+            return self.embed(out)
+        return out
+
+    def embed(self, inputs: List) -> jnp.ndarray:
+        """List of 2-D token arrays / 4-D image arrays -> (b, s, d)
+        embedding sequence, order preserved.  Parity: magma.py:195-212."""
+        emb_list = []
+        for x in inputs:
+            x = jnp.asarray(x)
+            if x.ndim == 2:
+                emb_list.append(self._embed_tokens_jit(self.params["lm"], x))
+            elif x.ndim == 4:
+                emb, _ = self._prefix_jit(
+                    self.params["image_prefix"], self.state["image_prefix"], x
+                )
+                emb_list.append(emb)
+            else:
+                raise ValueError(f"Expected 2d or 4d tensor, got {x.ndim}d")
+        return jnp.concatenate(emb_list, axis=1)
+
+    @functools.cached_property
+    def _embed_tokens_jit(self):
+        cfg = self.lm_config
+        return jax.jit(lambda p, ids: gptj.embed_tokens(cfg, p, ids))
+
+    @functools.cached_property
+    def _prefix_jit(self):
+        cfg = self.prefix_config
+        return jax.jit(
+            lambda p, s, x: ip_mod.apply(p, s, x, cfg, train=False)
+        )
+
+    def generate(
+        self,
+        embeddings: jnp.ndarray,
+        max_steps: int = 100,
+        temperature: float = 0.7,
+        top_k: int = 0,
+        top_p: float = 0.9,
+        decode: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        """KV-cached sampling.  Parity: magma.py:214-236 + sampling.py."""
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        tokens, _ = generate_tokens(
+            self.lm_config, self.params["lm"], jnp.asarray(embeddings), rng,
+            max_steps=max_steps, temperature=float(temperature),
+            top_k=int(top_k), top_p=float(top_p), eos_token=self.eos_token,
+        )
+        tokens = np.asarray(tokens)
+        if not decode:
+            return tokens
+        return [
+            self.tokenizer._decode_ids(
+                strip_after_eos(row, self.eos_token, self.image_token)
+            )
+            for row in tokens
+        ]
+
+    # ------------------------------------------------------------------
+    # Training forward (functional; used by the train loop under jit)
+    # ------------------------------------------------------------------
+    def loss_fn(
+        self,
+        params,
+        state,
+        images: Optional[jnp.ndarray],
+        captions: jnp.ndarray,
+        *,
+        train: bool = True,
+        rng: Optional[jax.Array] = None,
+        input_embeddings: Optional[jnp.ndarray] = None,
+    ):
+        """Pure loss function suitable for jax.grad.  Returns
+        (loss, (new_state, logits)).  Parity: magma/magma.py:238-276."""
+        assert captions is not None, "Must provide captions in training"
+        assert (images is None) != (input_embeddings is None), (
+            "Pass in either images, or input embeddings, not both."
+        )
+        assert captions.shape[1] == self.seq_len, (
+            f"in training, captions should be padded to sequence length "
+            f"({self.seq_len}), but are length {captions.shape[1]}"
+        )
+
+        new_state = state
+        if input_embeddings is None:
+            input_embeddings, new_ip_stats = ip_mod.apply(
+                params["image_prefix"], state["image_prefix"], images,
+                self.prefix_config, train=train, dropout_rng=rng,
+            )
+            new_state = {"image_prefix": new_ip_stats}
+
+        s_img = input_embeddings.shape[1]
+        labels = build_labels(s_img, captions, self.eos_token)
+        word_embeds = gptj.embed_tokens(self.lm_config, params["lm"], captions)
+        # drop the caption's right padding so total length stays seq_len
+        # (magma.py:261-267)
+        embeds = jnp.concatenate(
+            [input_embeddings, word_embeds[:, : self.seq_len - s_img]], axis=1
+        )
+        logits, _ = gptj.forward(self.lm_config, params["lm"], embeds)
+        loss = causal_lm_loss(logits, labels, self.lm_config.vocab_size)
+        return loss, (new_state, logits)
+
+    def forward(self, images, captions, input_embeddings=None):
+        """Eager convenience wrapper (eval/debug).  Training uses
+        training/train_loop.py's jitted step."""
+        loss, (_, logits) = self.loss_fn(
+            self.params, self.state, images, captions, train=False,
+            input_embeddings=input_embeddings,
+        )
+        return loss, logits
+
+    # ------------------------------------------------------------------
+    # Checkpoint
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls,
+        config_path,
+        checkpoint_path,
+        device=None,
+    ) -> "Magma":
+        """Load from an Orbax checkpoint directory or a torch
+        ``mp_rank_00_model_states.pt`` file (converted on the fly).
+        Parity: magma/magma.py:278-301."""
+        from magma_tpu.training import checkpoint as ckpt
+
+        model = cls(config_path, init_weights=True)
+        path = Path(checkpoint_path)
+        if path.is_dir():
+            model.params, model.state = ckpt.restore_params(
+                str(path), model.params, model.state
+            )
+        else:
+            from magma_tpu.training.torch_convert import load_torch_checkpoint
+
+            model.params = load_torch_checkpoint(
+                str(path), model.params, model.lm_config, model.prefix_config
+            )
+        return model

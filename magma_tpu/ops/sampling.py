@@ -1,0 +1,182 @@
+"""Autoregressive sampling: top-k / top-p filters + jitted decode loop.
+
+Parity target: magma/sampling.py:7-121.  The reference runs an eager
+per-token python loop over HF ``past_key_values``; here the whole decode is
+one jitted ``lax.while_loop`` over a fixed-shape KV cache — no host sync
+per token, early exit when every row has emitted EOS.
+
+Semantics matched exactly:
+
+* temperature == 0 -> pure argmax (sampling.py:96-97).
+* top-k keeps the k largest logits (sampling.py:22-30); boundary ties are
+  all kept here (torch.topk picks by index) — indistinguishable in float
+  practice.
+* top-p reproduces the reference's *nonstandard* filter (sampling.py:7-19):
+  sort descending, remove ranks whose shifted cumulative probability is
+  < (1 - threshold), always keep rank 0.  (Standard nucleus sampling would
+  remove the tail instead; we replicate the reference so published
+  checkpoints sample identically.)  Set ``top_p_mode="standard"`` for
+  textbook nucleus sampling.
+* temperature divides the logits *after* filtering (sampling.py:104).
+* decode loop: step 0 consumes the full prompt embeddings (prefill), then
+  one token per step (sampling.py:79-90); generation stops when all rows
+  have produced EOS (sampling.py:107-110) — rows that finished early are
+  held at EOS, which is output-equivalent after EOS-stripping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the k largest logits per row, -inf elsewhere (sampling.py:22-30)."""
+    assert k > 0
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits >= kth, logits, NEG_INF)
+
+
+def top_p_filter(
+    logits: jnp.ndarray, threshold: float = 0.9, mode: str = "reference"
+) -> jnp.ndarray:
+    """Nucleus-style filter over the last axis.
+
+    mode="reference" replicates magma/sampling.py:7-19 bit-for-bit in
+    structure; mode="standard" is conventional nucleus sampling.
+    """
+    order = jnp.argsort(-logits, axis=-1, stable=True)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+
+    if mode == "reference":
+        remove = cum_probs < (1.0 - threshold)
+    else:
+        remove = cum_probs > threshold
+    # shift right: the first rank crossing the boundary stays included
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+    )
+    filtered_sorted = jnp.where(remove, NEG_INF, sorted_logits)
+
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(filtered_sorted, inv, axis=-1)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jnp.ndarray,           # (b, V) fp32
+    *,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    vocab_size: int,
+    top_p_mode: str = "reference",
+) -> jnp.ndarray:
+    """One sampling step over possibly vocab-padded logits.  Returns (b,)."""
+    # mask MXU-padding columns (gptj.padded_vocab_size > true vocab)
+    if logits.shape[-1] > vocab_size:
+        col = jnp.arange(logits.shape[-1])
+        logits = jnp.where(col < vocab_size, logits, NEG_INF)
+
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if top_k > 0:
+        logits = top_k_filter(logits, top_k)
+    if top_p > 0.0:
+        logits = top_p_filter(logits, top_p, mode=top_p_mode)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_steps", "temperature", "top_k", "top_p", "eos_token",
+        "top_p_mode",
+    ),
+)
+def generate_tokens(
+    cfg,
+    params,
+    embeddings: jnp.ndarray,       # (b, s, D) prompt embeddings
+    rng: jax.Array,
+    *,
+    max_steps: int = 100,
+    temperature: float = 0.7,
+    top_k: int = 0,
+    top_p: float = 0.9,
+    eos_token: int = 50256,
+    prompt_len: Optional[jnp.ndarray] = None,  # scalar true prompt length
+    top_p_mode: str = "reference",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KV-cached generation.  Returns (tokens (b, max_steps) int32,
+    n_steps int32 — number of valid steps before early exit).
+
+    Positions beyond the early-exit step are filled with EOS.
+    """
+    from magma_tpu.models import gptj
+
+    b, s, _ = embeddings.shape
+    if prompt_len is None:
+        prompt_len = jnp.int32(s)
+    else:
+        prompt_len = prompt_len.astype(jnp.int32)
+
+    cache = gptj.init_kv_cache(cfg, b, s + max_steps)
+
+    # ---- prefill (sampling.py:81-85) ----
+    logits, cache = gptj.forward(
+        cfg, params, embeddings, cache=cache,
+        cache_index=jnp.int32(0), kv_len=jnp.full((b,), prompt_len),
+        remat=False,
+    )
+    # logits at the last *true* prompt position
+    last = jax.lax.dynamic_slice_in_dim(logits, prompt_len - 1, 1, axis=1)[:, 0]
+
+    tokens0 = jnp.full((b, max_steps), eos_token, jnp.int32)
+    done0 = jnp.zeros((b,), jnp.bool_)
+
+    def cond(state):
+        step, _, _, _, done, _ = state
+        return jnp.logical_and(step < max_steps, ~jnp.all(done))
+
+    def body(state):
+        step, tokens, cache, last_logits, done, cur_len = state
+        tok = sample_token(
+            jax.random.fold_in(rng, step), last_logits,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
+        )
+        tok = jnp.where(done, jnp.int32(eos_token), tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, step))
+        done = jnp.logical_or(done, tok == eos_token)
+
+        emb = gptj.embed_tokens(cfg, params, tok[:, None])  # (b, 1, D)
+        logits, new_cache = gptj.forward(
+            cfg, params, emb, cache=cache, cache_index=cur_len, remat=False,
+        )
+        return step + 1, tokens, new_cache, logits[:, -1], done, cur_len + 1
+
+    state = (jnp.int32(0), tokens0, cache, last, done0, prompt_len)
+    step, tokens, *_ = jax.lax.while_loop(cond, body, state)
+    return tokens, step
+
+
+def strip_after_eos(row, eos_token: int, image_token: int):
+    """Host-side post-processing mirroring remove_tokens_after_eos
+    (sampling.py:33-40): truncate at the first EOS, drop image tokens."""
+    out = []
+    for t in [int(x) for x in row]:
+        if t == eos_token:
+            break
+        if t != image_token:
+            out.append(t)
+    return out

@@ -1,0 +1,103 @@
+"""Sampling tests: filters (reference semantics), greedy decode, EOS stop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magma_tpu.models import gptj
+from magma_tpu.ops.sampling import (
+    generate_tokens,
+    sample_token,
+    strip_after_eos,
+    top_k_filter,
+    top_p_filter,
+)
+
+
+def test_top_k_keeps_k_largest():
+    logits = jnp.array([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    out = np.asarray(top_k_filter(logits, 2))
+    assert out[0, 1] == 5.0 and out[0, 4] == 4.0
+    assert np.isinf(out[0, 0]) and np.isinf(out[0, 2]) and np.isinf(out[0, 3])
+
+
+def test_top_p_reference_semantics():
+    """Replicates the reference filter (sampling.py:7-19): with the
+    shifted cumulative rule, rank 0 is always kept and ranks are removed
+    while the cumulative probability is below (1 - threshold)."""
+    logits = jnp.log(jnp.array([[0.4, 0.3, 0.2, 0.1]]))
+    # threshold 0.9 -> remove while cum < 0.1 (nothing: cum after rank0 = 0.4)
+    out = np.asarray(top_p_filter(logits, 0.9, mode="reference"))
+    assert not np.isinf(out).any()
+    # threshold 0.3 -> remove ranks with shifted cum < 0.7: ranks 1 (cum .4)
+    # and 2 (cum .7 is not < .7) -> only rank 1 removed
+    out = np.asarray(top_p_filter(logits, 0.3, mode="reference"))
+    assert np.isinf(out[0, 1])
+    assert not np.isinf(out[0, 0]) and not np.isinf(out[0, 2])
+
+
+def test_top_p_standard_semantics():
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    out = np.asarray(top_p_filter(logits, 0.7, mode="standard"))
+    # keep ranks until cum > 0.7 (shifted): ranks 0, 1 kept; 2, 3 removed
+    assert not np.isinf(out[0, 0]) and not np.isinf(out[0, 1])
+    assert np.isinf(out[0, 2]) and np.isinf(out[0, 3])
+
+
+def test_temperature_zero_is_argmax():
+    logits = jnp.array([[0.1, 0.9, 0.2], [0.7, 0.1, 0.2]])
+    tok = sample_token(
+        jax.random.PRNGKey(0), logits, temperature=0.0, top_k=0, top_p=0.0,
+        vocab_size=3,
+    )
+    assert list(np.asarray(tok)) == [1, 0]
+
+
+def test_padded_vocab_never_sampled():
+    logits = jnp.zeros((4, 8))  # uniform over 8 columns, true vocab = 5
+    for t in (0.0, 1.0):
+        toks = sample_token(
+            jax.random.PRNGKey(0), logits, temperature=t, top_k=0, top_p=0.9,
+            vocab_size=5,
+        )
+        assert np.asarray(toks).max() < 5
+
+
+def test_generate_greedy_deterministic(tiny_lm_config):
+    cfg = tiny_lm_config
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 8, cfg.d_model)) * 0.02
+    t1, _ = generate_tokens(cfg, params, emb, jax.random.PRNGKey(2),
+                            max_steps=8, temperature=0.0, top_k=0, top_p=0.0)
+    t2, _ = generate_tokens(cfg, params, emb, jax.random.PRNGKey(3),
+                            max_steps=8, temperature=0.0, top_k=0, top_p=0.0)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_generate_early_eos_stop(tiny_lm_config):
+    """A model that deterministically emits EOS must stop after step 1."""
+    cfg = tiny_lm_config
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    eos = 50256
+    # zero the blocks (identity residual path) and give the prompt token and
+    # EOS the same embedding f: the final hidden state is LN(f), whose dot
+    # with f is the (positive) variance of f -> logits peak at EOS exactly.
+    params = dict(params)
+    params["blocks"] = jax.tree_util.tree_map(jnp.zeros_like, params["blocks"])
+    f = jax.random.normal(jax.random.PRNGKey(9), (cfg.d_model,))
+    # EOS gets 2f: LayerNorm is scale-invariant so the hidden state stays
+    # LN(f) either way, but the EOS logit (2 * LN(f)@f) dominates token 7's.
+    wte = jnp.zeros_like(params["wte"])
+    params["wte"] = wte.at[7].set(f).at[eos].set(2 * f)
+    emb = gptj.embed_tokens(cfg, params, jnp.full((1, 4), 7, jnp.int32))
+    toks, steps = generate_tokens(cfg, params, emb, jax.random.PRNGKey(1),
+                                  max_steps=10, temperature=0.0, top_k=0,
+                                  top_p=0.0)
+    assert int(steps) == 1
+    assert int(toks[0, 0]) == eos
+    assert (np.asarray(toks[0, 1:]) == eos).all()
+
+
+def test_strip_after_eos():
+    row = [5, 50257, 7, 50256, 9, 11]
+    assert strip_after_eos(row, 50256, 50257) == [5, 7]
