@@ -96,8 +96,7 @@ def _conv(x, kernel, stride=1, dtype=jnp.bfloat16):
         window_strides=(stride, stride),
         padding="SAME" if kernel.shape[0] > 1 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
 def _bn(x, p, s, *, eps, momentum, train):

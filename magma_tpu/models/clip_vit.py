@@ -122,7 +122,6 @@ def apply(
         x, params["patch_embed"].astype(cdt),
         window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     x = x.reshape(b, cfg.grid * cfg.grid, cfg.width)
     cls = jnp.broadcast_to(

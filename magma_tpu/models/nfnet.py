@@ -78,8 +78,7 @@ def _ws_conv(x, p, stride=1, dtype=jnp.bfloat16):
         window_strides=(stride, stride),
         padding="SAME" if kh > 1 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     return y + p["bias"]
 
 

@@ -1,0 +1,251 @@
+"""Jit-sharded training: one compiled step = grad-accum scan + psum'd loss
++ optimizer update, batch-sharded over the "dp" mesh axis with
+tensor-parallel LM layouts over "tp".
+
+Replaces the reference's DeepSpeed engine loop (magma/train_loop.py:7-21,
+train.py:103-111):
+
+* gradient accumulation is a ``lax.scan`` over microbatches *inside* the
+  jitted step (the reference loops in python over engine.backward calls),
+* the cross-device gradient all-reduce, loss mean (utils.py:26-34) and
+  optimizer-state sharding (ZeRO-2) are all emitted by XLA from sharding
+  annotations — no NCCL plumbing,
+* the frozen LM is partitioned out of the differentiated tree entirely
+  (parallel/partition.py): no gradients, no optimizer state, no ZeRO
+  bookkeeping for 6B frozen parameters,
+* run_blind zeroes images (train_loop.py:13-14 parity),
+* eval_step averages loss over eval batches (train_loop.py:48-60),
+* inference_step generates captions for logging — implementing properly
+  what the reference left broken (train_loop.py:90-92 calls a forward
+  signature that doesn't exist; SURVEY.md §3 quirks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from magma_tpu.config import MultimodalConfig
+from magma_tpu.parallel.mesh import make_mesh
+from magma_tpu.parallel.partition import combine, partition
+from magma_tpu.parallel.sharding import make_param_shardings
+from magma_tpu.training.optim import make_optimizer
+
+
+class Trainer:
+    """Owns sharded params/opt state and the compiled train/eval steps."""
+
+    def __init__(self, model, config: MultimodalConfig, mesh=None):
+        self.model = model
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(
+            config.mesh_dp, config.mesh_tp
+        )
+        self.global_step = 0
+
+        mask = model.trainable_mask()
+        trainable, frozen = partition(model.params, mask)
+        self.optimizer, self.opt_labels = make_optimizer(config, trainable)
+
+        # place params on the mesh with canonical layouts
+        shardings = make_param_shardings(self.mesh, model.params)
+        t_shard, f_shard = partition(shardings, mask)
+        put = lambda tree, sh: jax.tree_util.tree_map(jax.device_put, tree, sh)
+        self.trainable = put(trainable, t_shard)
+        self.frozen = put(frozen, f_shard)
+        self._t_shardings, self._f_shardings = t_shard, f_shard
+
+        repl = NamedSharding(self.mesh, P())
+        self.state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), model.state
+        )
+
+        # optimizer state created under jit from sharded params inherits
+        # the parameter shardings (ZeRO-style state partitioning for free)
+        self.opt_state = jax.jit(self.optimizer.init)(self.trainable)
+
+        self._batch_sharding = NamedSharding(self.mesh, P(None, "dp"))
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        config, model, optimizer = self.config, self.model, self.optimizer
+        mesh = self.mesh
+
+        def step_fn(trainable, frozen, opt_state, state, images, captions,
+                    rng, step_idx):
+            # images: (ga, micro_b, 3, H, W); captions: (ga, micro_b, s)
+            if config.run_blind:
+                images = jnp.zeros_like(images)
+
+            def micro(trainable, state, imgs, caps, r):
+                params = combine(trainable, frozen)
+                loss, (new_state, _) = model.loss_fn(
+                    params, state, imgs, caps, train=True, rng=r
+                )
+                return loss, new_state
+
+            grad_fn = jax.value_and_grad(micro, has_aux=True)
+
+            def body(carry, xs):
+                g_acc, loss_acc, state = carry
+                imgs, caps, i = xs
+                (loss, new_state), grads = grad_fn(
+                    trainable, state, imgs, caps,
+                    jax.random.fold_in(rng, i),
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss, new_state), None
+
+            ga = images.shape[0]
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainable
+            )
+            (grads, loss_sum, new_state), _ = jax.lax.scan(
+                body, (g0, 0.0, state),
+                (images, captions, jnp.arange(ga)),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
+            loss = loss_sum / ga
+
+            updates, new_opt_state = optimizer.update(
+                grads, opt_state, trainable
+            )
+            new_trainable = optax.apply_updates(trainable, updates)
+            return new_trainable, new_opt_state, new_state, loss
+
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step_fn,
+            in_shardings=(
+                self._t_shardings, self._f_shardings, None, None,
+                self._batch_sharding, self._batch_sharding, repl, None,
+            ),
+            donate_argnums=(0, 2, 3),
+        )
+
+    def _build_eval_step(self):
+        config, model = self.config, self.model
+
+        def eval_fn(trainable, frozen, state, images, captions):
+            if config.run_blind:
+                images = jnp.zeros_like(images)
+            params = combine(trainable, frozen)
+            loss, _ = model.loss_fn(
+                params, state, images, captions, train=False
+            )
+            return loss
+
+        batch2d = NamedSharding(self.mesh, P("dp"))
+        return jax.jit(
+            eval_fn,
+            in_shardings=(
+                self._t_shardings, self._f_shardings, None, batch2d, batch2d
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self) -> Dict:
+        """Current full (combined) parameter tree."""
+        return combine(self.trainable, self.frozen)
+
+    def sync_model(self) -> None:
+        """Write current params/state back into the Magma facade (for
+        generation / checkpointing through model APIs)."""
+        self.model.params = self.params
+        self.model.state = self.state
+
+    # ------------------------------------------------------------------
+    def train_step(self, images: np.ndarray, captions: np.ndarray,
+                   rng: Optional[jax.Array] = None) -> float:
+        """One optimizer step over a global batch laid out as
+        (ga, micro_batch, ...).  Returns the mean loss (already globally
+        reduced by the sharded computation)."""
+        ga = self.config.gradient_accumulation_steps
+        if images.ndim == 4:  # accept flat (B, ...) too
+            images = images.reshape(ga, -1, *images.shape[1:])
+            captions = captions.reshape(ga, -1, captions.shape[-1])
+        if rng is None:
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.seed), self.global_step
+            )
+        self.trainable, self.opt_state, self.state, loss = self._train_step(
+            self.trainable, self.frozen, self.opt_state, self.state,
+            jnp.asarray(images), jnp.asarray(captions), rng,
+            jnp.int32(self.global_step),
+        )
+        self.global_step += 1
+        return float(loss)
+
+    def eval_step(self, eval_loader, eval_steps: Optional[int] = None) -> float:
+        """Mean loss over ``eval_steps`` batches (train_loop.py:48-60)."""
+        n = eval_steps if eval_steps is not None else self.config.eval_steps
+        losses = []
+        for _ in range(n):
+            images, captions = next(eval_loader)
+            losses.append(
+                float(
+                    self._eval_step(
+                        self.trainable, self.frozen, self.state,
+                        jnp.asarray(images), jnp.asarray(captions),
+                    )
+                )
+            )
+        return float(np.mean(losses))
+
+    def inference_step(self, eval_loader, max_images: int = 2,
+                       **generate_kwargs) -> Tuple[np.ndarray, str]:
+        """Generate captions for eval images (fixes train_loop.py:85-98).
+        Returns (images, caption text block) for metric logging."""
+        images, _ = next(eval_loader)
+        images = np.asarray(images)[:max_images]
+        if self.config.run_blind:
+            images = np.zeros_like(images)
+        self.sync_model()
+        embeddings = self.model.embed([jnp.asarray(images)])
+        captions = self.model.generate(embeddings, **generate_kwargs)
+        text = "".join(
+            f"Caption {i}: \n{c}\n" for i, c in enumerate(captions)
+        )
+        return images, text
+
+    # ------------------------------------------------------------------
+    def save(self, save_dir: str) -> None:
+        from magma_tpu.training import checkpoint as ckpt
+
+        ckpt.save_checkpoint(
+            save_dir, self.global_step, self.params, self.state,
+            opt_state=self.opt_state, config=self.config,
+        )
+
+    def load(self, load_dir: str, load_optimizer: bool = True) -> int:
+        """Resume; returns the restored global step (0 if nothing found),
+        matching utils.py:99-117 semantics."""
+        from magma_tpu.training import checkpoint as ckpt
+
+        mask = self.model.trainable_mask()
+        params, state, opt_state, step = ckpt.load_checkpoint(
+            load_dir, self.params, self.state,
+            self.opt_state if load_optimizer else None,
+        )
+        if params is None:
+            return 0
+        shardings = make_param_shardings(self.mesh, params)
+        t, f = partition(params, mask)
+        t_sh, f_sh = partition(shardings, mask)
+        put = lambda tree, sh: jax.tree_util.tree_map(jax.device_put, tree, sh)
+        self.trainable, self.frozen = put(t, t_sh), put(f, f_sh)
+        if state is not None:
+            self.state = state
+        if load_optimizer and opt_state is not None:
+            self.opt_state = opt_state
+            self.global_step = step
+        return step
