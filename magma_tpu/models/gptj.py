@@ -104,8 +104,12 @@ def init_params(rng: jax.Array, cfg: GPTJConfig) -> Dict:
     def normal(key, shape, std=0.02):
         return (jax.random.normal(key, shape, jnp.float32) * std).astype(pd)
 
+    # MXU-padding rows beyond the true vocab are zeroed (never sampled or
+    # looked up; keeps checkpoint round-trips exact)
+    wte = normal(next(k), (Vp, D))
+    pad_mask = (jnp.arange(Vp) < cfg.vocab_size)[:, None]
     params = {
-        "wte": normal(next(k), (Vp, D)),
+        "wte": jnp.where(pad_mask, wte, 0).astype(pd),
         "blocks": {
             "ln_1": {
                 "scale": jnp.ones((L, D), pd),

@@ -1,0 +1,99 @@
+"""Observability: profiler traces, step timing, rank-0 metric helpers.
+
+The reference had only tqdm + wandb scalars (SURVEY.md §5: no tracing or
+profiling).  TPU-native additions:
+
+* ``profile_trace``: context manager around ``jax.profiler`` emitting a
+  TensorBoard-viewable trace (XLA op-level timeline, HBM usage),
+* ``StepTimer``: wall-clock per-step timing with p50/p95 summaries,
+* ``log_table``: wandb.Table when wandb is live, plaintext otherwise
+  (parity: magma/utils.py:248-253),
+* ``device_memory_stats``: per-device HBM live-bytes snapshot.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from magma_tpu.utils import is_main
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/magma_tpu_trace"):
+    """Capture a jax.profiler trace: ``with profile_trace("dir"): step()``.
+    View with TensorBoard's profile plugin."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling wall-clock timing for train steps."""
+
+    def __init__(self, window: int = 100):
+        self.window = window
+        self._times: List[float] = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self._times.append(time.perf_counter() - self._t0)
+        if len(self._times) > self.window:
+            self._times.pop(0)
+
+    @property
+    def last(self) -> float:
+        return self._times[-1] if self._times else float("nan")
+
+    def summary(self) -> Dict[str, float]:
+        if not self._times:
+            return {}
+        arr = np.asarray(self._times)
+        return {
+            "step_time_p50": float(np.percentile(arr, 50)),
+            "step_time_p95": float(np.percentile(arr, 95)),
+            "steps_per_sec": float(1.0 / np.mean(arr)),
+        }
+
+
+def log_table(name: str, model_outputs: Sequence[str],
+              gt_answers_list: Sequence, global_step: int,
+              wandb_module=None) -> None:
+    """Eval answers table (parity: utils.py:248-253), wandb-optional."""
+    if not is_main():
+        return
+    if wandb_module is not None:
+        table = wandb_module.Table(columns=["model output", "ground truth(s)"])
+        for o, gt in zip(model_outputs, gt_answers_list):
+            table.add_data(o, gt)
+        wandb_module.log({f"eval/{name}": table}, step=global_step)
+        return
+    print(f"[eval/{name} @ step {global_step}]")
+    for o, gt in zip(model_outputs, gt_answers_list):
+        print(f"  output: {o!r}  |  gt: {gt!r}")
+
+
+def device_memory_stats() -> Dict[str, Dict[str, float]]:
+    """Per-device HBM usage in GiB (empty dict on backends without stats)."""
+    out = {}
+    for d in jax.local_devices():
+        try:
+            s = d.memory_stats()
+            out[str(d)] = {
+                "bytes_in_use_gib": s.get("bytes_in_use", 0) / 2**30,
+                "peak_bytes_in_use_gib": s.get("peak_bytes_in_use", 0) / 2**30,
+                "bytes_limit_gib": s.get("bytes_limit", 0) / 2**30,
+            }
+        except Exception:
+            pass
+    return out

@@ -48,6 +48,13 @@ def save_checkpoint(
     if opt_state is not None:
         payload["opt_state"] = opt_state
 
+    # Snapshot to host memory first: Orbax/TensorStore's per-array device
+    # reads are pathologically slow through tunneled TPU transports (~150 s
+    # per save observed via axon), while a bulk jax.device_get is fast.
+    import numpy as np
+
+    payload = jax.tree_util.tree_map(np.asarray, payload)  # bf16 via ml_dtypes
+
     ckptr = _checkpointer()
     ckptr.save(step_dir, payload, force=True)
     ckptr.wait_until_finished()

@@ -218,6 +218,89 @@ class Trainer:
         return images, text
 
     # ------------------------------------------------------------------
+    # Classification fine-tuning (train_loop.py:24-45, 63-82 parity; the
+    # reference shipped the steps but no working model — see
+    # models/classifier.py)
+    # ------------------------------------------------------------------
+    def _classification_step(self, train: bool):
+        config, model, optimizer = self.config, self.model, self.optimizer
+
+        def loss_fn(trainable, state, images, captions, labels, rng):
+            params = combine(trainable, self.frozen)
+            loss, (new_state, logits) = model.classification_loss_fn(
+                params, state, images, captions, labels, train=train, rng=rng
+            )
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            )
+            return loss, (new_state, acc)
+
+        if not train:
+            def eval_fn(trainable, frozen, state, images, captions, labels):
+                params = combine(trainable, frozen)
+                loss, (_, logits) = model.classification_loss_fn(
+                    params, state, images, captions, labels, train=False
+                )
+                acc = jnp.mean(
+                    (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+                )
+                return loss, acc
+
+            return jax.jit(eval_fn)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step_fn(trainable, frozen, opt_state, state, images, captions,
+                    labels, rng):
+            (loss, (new_state, acc)), grads = grad_fn(
+                trainable, state, images, captions, labels, rng
+            )
+            updates, new_opt_state = optimizer.update(
+                grads, opt_state, trainable
+            )
+            new_trainable = optax.apply_updates(trainable, updates)
+            return new_trainable, new_opt_state, new_state, loss, acc
+
+        return jax.jit(step_fn, donate_argnums=(0, 2, 3))
+
+    def train_step_classification(self, images, captions, class_labels,
+                                  rng=None, return_accuracy: bool = True):
+        """One classification step over (list-of-)image batches.  Returns
+        loss (and accuracy)."""
+        if not hasattr(self, "_cls_train"):
+            self._cls_train = self._classification_step(train=True)
+        if rng is None:
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.seed), self.global_step
+            )
+        images = [jnp.asarray(i) for i in images] if isinstance(
+            images, (list, tuple)) else jnp.asarray(images)
+        self.trainable, self.opt_state, self.state, loss, acc = (
+            self._cls_train(
+                self.trainable, self.frozen, self.opt_state, self.state,
+                images, jnp.asarray(captions), jnp.asarray(class_labels), rng,
+            )
+        )
+        self.global_step += 1
+        if return_accuracy:
+            return float(loss), float(acc)
+        return float(loss)
+
+    def eval_step_classification(self, images, captions, class_labels,
+                                 return_accuracy: bool = True):
+        if not hasattr(self, "_cls_eval"):
+            self._cls_eval = self._classification_step(train=False)
+        images = [jnp.asarray(i) for i in images] if isinstance(
+            images, (list, tuple)) else jnp.asarray(images)
+        loss, acc = self._cls_eval(
+            self.trainable, self.frozen, self.state, images,
+            jnp.asarray(captions), jnp.asarray(class_labels),
+        )
+        if return_accuracy:
+            return float(loss), float(acc)
+        return float(loss)
+
+    # ------------------------------------------------------------------
     def save(self, save_dir: str) -> None:
         from magma_tpu.training import checkpoint as ckpt
 
