@@ -161,6 +161,50 @@ def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def _mm(x: jnp.ndarray, w, cdt) -> jnp.ndarray:
+    """Matmul dispatching on the weight leaf: raw array (bf16 path),
+    {"q", "s"} (int8 fused dequant kernel), or {"q", "s", "idx"} (layer
+    ``idx`` of layer-stacked int8 weights — DMA'd straight from the stacked
+    HBM array, see ops/quant.py)."""
+    if isinstance(w, dict) and "q" in w:
+        from magma_tpu.ops.quant import int8_matmul, int8_matmul_stacked
+
+        if "idx" in w:
+            return int8_matmul_stacked(
+                x, w["q"], w["s"], w["idx"], out_dtype=cdt
+            )
+        return int8_matmul(x, w["q"], w["s"], out_dtype=cdt)
+    return jnp.dot(x, w.astype(cdt))
+
+
+def quantize_lm_params(params: Dict) -> Dict:
+    """Weight-only int8 quantization of the serving-critical matrices:
+    attention q/k/v/o, MLP fc_in/fc_out, and the output head (derived from
+    the tied wte).  Adapters, layernorms, and the embedding table stay in
+    their original dtype.  Mutates (and returns) ``params``, dropping
+    references to the originals so peak HBM stays bounded.
+
+    Decode becomes ~2x faster: single-stream generation is HBM-bound and
+    int8 halves the bytes read per token (see ops/quant.py).
+    """
+    from magma_tpu.ops.quant import quantize_int8
+
+    def q_stacked(w):  # (L, K, N) -> per-layer quantization, bounded peak
+        return jax.lax.map(quantize_int8, w)
+
+    attn = params["blocks"]["attn"]
+    for k in ("q", "k", "v", "o"):
+        attn[k] = jax.jit(q_stacked)(attn[k])
+    mlp = params["blocks"]["mlp"]
+    for k in ("fc_in", "fc_out"):
+        mlp[k]["kernel"] = jax.jit(q_stacked)(mlp[k]["kernel"])
+    # untied int8 output head from wte (embedding lookups keep bf16 wte)
+    params["lm_head_q"] = jax.jit(
+        lambda w: quantize_int8(w.astype(jnp.float32).T)
+    )(params["wte"])
+    return params
+
+
 def _layer_norm(x: jnp.ndarray, p: Dict, eps: float, out_dtype) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
@@ -196,9 +240,9 @@ def _block(
     u = _layer_norm(x, bp["ln_1"], cfg.ln_eps, cdt)
 
     # --- attention branch ---
-    q = jnp.dot(u, bp["attn"]["q"].astype(cdt)).reshape(b, s, h, hd)
-    kk = jnp.dot(u, bp["attn"]["k"].astype(cdt)).reshape(b, s, h, hd)
-    v = jnp.dot(u, bp["attn"]["v"].astype(cdt)).reshape(b, s, h, hd)
+    q = _mm(u, bp["attn"]["q"], cdt).reshape(b, s, h, hd)
+    kk = _mm(u, bp["attn"]["k"], cdt).reshape(b, s, h, hd)
+    v = _mm(u, bp["attn"]["v"], cdt).reshape(b, s, h, hd)
     q = apply_rotary(q, sin, cos, cfg.rotary_dim)
     kk = apply_rotary(kk, sin, cos, cfg.rotary_dim)
 
@@ -231,16 +275,16 @@ def _block(
                 scale=scale,
             )
 
-    a = jnp.dot(attn.reshape(b, s, D), bp["attn"]["o"].astype(cdt))
+    a = _mm(attn.reshape(b, s, D), bp["attn"]["o"], cdt)
     if "o_bias" in bp["attn"]:
         a = a + bp["attn"]["o_bias"].astype(cdt)
     a = apply_adapter(bp.get("adapter_attn"), cfg.attn_adapter, u, a, cdt)
 
     # --- mlp branch (parallel, same LN output) ---
-    m = jnp.dot(u, bp["mlp"]["fc_in"]["kernel"].astype(cdt))
+    m = _mm(u, bp["mlp"]["fc_in"]["kernel"], cdt)
     m = m + bp["mlp"]["fc_in"]["bias"].astype(cdt)
     m = jax.nn.gelu(m, approximate=True)
-    m = jnp.dot(m, bp["mlp"]["fc_out"]["kernel"].astype(cdt))
+    m = _mm(m, bp["mlp"]["fc_out"]["kernel"], cdt)
     m = m + bp["mlp"]["fc_out"]["bias"].astype(cdt)
     m = apply_adapter(bp.get("adapter_mlp"), cfg.mlp_adapter, u, m, cdt)
 
@@ -259,6 +303,12 @@ def _run_blocks(
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
+
+    if isinstance(blocks["attn"]["q"], dict):  # int8-quantized weights
+        return _run_blocks_quantized(
+            cfg, blocks, x, sin, cos, kv_len=kv_len, cache=cache,
+            cache_index=cache_index, remat=remat,
+        )
 
     if cache is None:
 
@@ -279,6 +329,79 @@ def _run_blocks(
         return y, new_kv
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (blocks, cache["k"], cache["v"]))
+    return x, {"k": k_new, "v": v_new}
+
+
+def _run_blocks_quantized(
+    cfg: GPTJConfig,
+    blocks: Dict,
+    x: jnp.ndarray,
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    kv_len: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Block scan for int8-quantized weights.  The big stacked int8 arrays
+    stay *outside* the scan (closure constants); the body passes the layer
+    index into the stacked Pallas kernel, which DMAs tiles directly from
+    the stacked HBM buffers.  Scanning the weights themselves would make
+    XLA materialize a per-layer slice copy before every kernel call —
+    tripling HBM traffic and erasing the int8 bandwidth win.
+    """
+    L = cfg.n_layers
+    big_attn = {k: blocks["attn"][k] for k in ("q", "k", "v", "o")}
+    big_mlp = {
+        "fc_in": blocks["mlp"]["fc_in"]["kernel"],
+        "fc_out": blocks["mlp"]["fc_out"]["kernel"],
+    }
+    small = {
+        k: v for k, v in blocks.items() if k not in ("attn", "mlp")
+    }
+    small["attn"] = {
+        k: v for k, v in blocks["attn"].items() if k not in ("q", "k", "v", "o")
+    }
+    small["mlp"] = {
+        "fc_in": {"bias": blocks["mlp"]["fc_in"]["bias"]},
+        "fc_out": {"bias": blocks["mlp"]["fc_out"]["bias"]},
+    }
+
+    def make_bp(small_l, idx):
+        bp = dict(small_l)
+        bp["attn"] = dict(small_l["attn"])
+        for k in ("q", "k", "v", "o"):
+            bp["attn"][k] = {**big_attn[k], "idx": idx}
+        bp["mlp"] = {
+            "fc_in": {"kernel": {**big_mlp["fc_in"], "idx": idx},
+                      "bias": small_l["mlp"]["fc_in"]["bias"]},
+            "fc_out": {"kernel": {**big_mlp["fc_out"], "idx": idx},
+                       "bias": small_l["mlp"]["fc_out"]["bias"]},
+        }
+        return bp
+
+    if cache is None:
+
+        def body(carry, xs):
+            small_l, idx = xs
+            y, _ = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
+                          kv_len, None, None)
+            return y, None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, (small, jnp.arange(L)))
+        return x, None
+
+    def body(carry, xs):
+        small_l, idx, k_c, v_c = xs
+        y, new_kv = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
+                           kv_len, (k_c, v_c), cache_index)
+        return y, new_kv
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (small, jnp.arange(L), cache["k"], cache["v"])
+    )
     return x, {"k": k_new, "v": v_new}
 
 
@@ -316,10 +439,13 @@ def forward(
     )
 
     x = _layer_norm(x, params["ln_f"], cfg.ln_eps, cdt)
-    # tied embeddings (GPT-Neo-fork semantics): logits = h @ wte^T
-    logits = jnp.dot(
-        x, params["wte"].astype(cdt).T, preferred_element_type=jnp.float32
-    )
+    if "lm_head_q" in params:  # int8 serving head (quantize_lm_params)
+        logits = _mm(x, params["lm_head_q"], jnp.float32)
+    else:
+        # tied embeddings (GPT-Neo-fork semantics): logits = h @ wte^T
+        logits = jnp.dot(
+            x, params["wte"].astype(cdt).T, preferred_element_type=jnp.float32
+        )
     return logits, new_cache
 
 

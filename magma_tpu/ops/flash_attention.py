@@ -30,14 +30,19 @@ LANES = 128
 
 
 def _block_sizes(s_q: int, s_k: int, hd: int):
-    block_q = min(512, s_q)
-    block_k = min(512, s_k)
-    if s_q % block_q or s_k % block_k or hd % 128:
+    """Largest block size (<= 512, multiple of 128) dividing each seq dim.
+    Callers pad sequences to multiples of 128 first (see flash_attention)."""
+    if hd % 128 or s_q % 128 or s_k % 128:
         raise NotImplementedError(
-            f"flash_attention needs seq multiples of block sizes and head_dim%128==0 "
+            f"flash_attention needs seq%128==0 and head_dim%128==0 "
             f"(got s_q={s_q}, s_k={s_k}, hd={hd})"
         )
-    return block_q, block_k
+    def pick(s):
+        for b in (512, 384, 256, 128):
+            if s % b == 0:
+                return b
+        return 128
+    return pick(s_q), pick(s_k)
 
 
 # ---------------------------------------------------------------------------
@@ -444,14 +449,31 @@ def flash_attention(
     """
     b, s_q, h, hd = q.shape
     s_k = k.shape[1]
-    _block_sizes(s_q, s_k, hd)  # raise NotImplementedError early if unsupported
+    if hd % 128:
+        raise NotImplementedError(f"head_dim must be a multiple of 128, got {hd}")
+
+    # auto-pad ragged sequence lengths up to a multiple of 128; padded keys
+    # are masked via kv_len, padded query rows are sliced off the output
+    pad_q = (-s_q) % 128
+    pad_k = (-s_k) % 128
+    if pad_q or pad_k:
+        if pad_q:
+            q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        if pad_k:
+            k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+            if kv_len is None:
+                kv_len = jnp.full((b,), s_k, jnp.int32)
+
+    sp_q, sp_k = q.shape[1], k.shape[1]
+    _block_sizes(sp_q, sp_k, hd)  # raise early if still unsupported
 
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], hd)
 
     use_kv_len = kv_len is not None
     if kv_len is None:
-        kvl = jnp.full((b * h,), s_k, dtype=jnp.int32)
+        kvl = jnp.full((b * h,), sp_k, dtype=jnp.int32)
     else:
         kvl = jnp.repeat(kv_len.astype(jnp.int32), h)
 
@@ -460,4 +482,5 @@ def flash_attention(
         float(scale), bool(causal), bool(use_kv_len), int(q_offset),
         bool(interpret),
     )
-    return o.reshape(b, h, s_q, hd).transpose(0, 2, 1, 3)
+    o = o.reshape(b, h, sp_q, hd).transpose(0, 2, 1, 3)
+    return o[:, :s_q] if pad_q else o

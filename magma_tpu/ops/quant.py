@@ -1,0 +1,217 @@
+"""Weight-only int8 quantization + fused dequant-matmul Pallas kernel.
+
+Serving-side optimization with no reference equivalent: single-stream
+decode of the frozen 6B LM is HBM-bandwidth-bound (every generated token
+reads all weights once), so storing the big projection matrices as int8
+with per-output-channel fp32 scales halves the bytes per token — a ~2x
+decode-throughput ceiling raise (see BENCH numbers in README).
+
+Why a Pallas kernel: XLA materializes `w_int8.astype(bf16) * scale` as a
+full-size intermediate before a dot — that round-trips the dequantized
+weights through HBM and erases the bandwidth win.  The kernel DMAs int8
+tiles into VMEM, converts on-chip, runs the MXU matmul, and applies the
+per-channel scales on the accumulator — the HBM side only ever sees int8.
+
+Quantization is symmetric per output channel: scale_n = max|w[:, n]| / 127.
+Weight-only (activations stay bf16), which is empirically ~lossless for
+decoder LMs at 6B scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_int8(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., K, N) weights -> {"q": int8, "s": f32 per-output-channel}.
+    Leading dims (e.g. the layer-stack axis) are preserved."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # (..., 1, N)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale[..., 0, :]}
+
+
+def _pick_block(s: int, prefer=(512, 384, 256, 128)) -> int:
+    for b in prefer:
+        if s % b == 0:
+            return b
+    raise NotImplementedError(f"dim {s} not a multiple of 128")
+
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(jnp.bfloat16)  # int8 -> bf16 on-chip
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...] * s_ref[...]
+
+
+def _int8_matmul_2d(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray):
+    """(M, K) @ int8 (K, N) * s (N,) -> (M, N) f32."""
+    m, k = x.shape
+    k2, n = wq.shape
+    assert k == k2, (x.shape, wq.shape)
+
+    pad_m = (-m) % 8
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    mp = x.shape[0]
+
+    bm = min(mp, 256) if mp % 8 == 0 else 8
+    if mp % bm:
+        bm = 8
+    bk = _pick_block(k)
+    bn = _pick_block(n)
+    n_k = k // bk
+
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        grid=(mp // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kb: (kb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(x, wq, scales.reshape(1, n))
+    return out[:m] if pad_m else out
+
+
+def _int8_matmul_stacked_kernel(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
+                                *, n_k):
+    """int8 tile: weights are DMA'd as int8 (half the HBM bytes of bf16),
+    converted to bf16 in VMEM, and fed to the MXU; per-channel scales apply
+    on the fp32 accumulator.
+
+    Measured on GPT-J 6B v5e-1 decode: 68.3 tok/s vs 54.6 bf16 (weights-
+    only int8, bf16-convert variant).  A W8A8 variant (on-chip activation
+    quantization + native int8 MXU dots) measured slightly slower at both
+    b=1 (66.2) and b=8 (166 vs 172) — the per-block activation quantization
+    overhead outweighs the int8 MXU gain at these shapes.
+    """
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.bfloat16)  # (bk, bn) int8 -> bf16 on-chip
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...] * s_ref[0]
+
+
+def _int8_matmul_stacked_2d(x, wq, scales, layer_idx):
+    """(M, K) @ int8 (L, K, N)[layer_idx] * s (L, N)[layer_idx] -> (M, N).
+
+    The layer index arrives as a scalar-prefetch argument so the BlockSpec
+    index maps DMA weight tiles straight out of the *stacked* HBM array —
+    no per-layer slice materialization.  This is what makes int8 decode
+    actually bandwidth-bound on weights: under ``lax.scan`` a sliced
+    operand would be copied (HBM read+write) before every kernel call,
+    tripling traffic.
+    """
+    m, k = x.shape
+    L, k2, n = wq.shape
+    assert k == k2, (x.shape, wq.shape)
+
+    pad_m = (-m) % 8
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    mp = x.shape[0]
+    bm = min(mp, 256) if mp % 8 == 0 else 8
+    if mp % bm:
+        bm = 8
+    bk = _pick_block(k)
+    bn = _pick_block(n)
+    n_k = k // bk
+
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_stacked_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // bm, n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, kb, idx_ref: (i, kb)),
+                pl.BlockSpec(
+                    (1, bk, bn),
+                    lambda i, j, kb, idx_ref: (idx_ref[0], kb, j),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bn),
+                    lambda i, j, kb, idx_ref: (idx_ref[0], 0, j),
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb, idx_ref: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(idx, x, wq, scales.reshape(L, 1, n))
+    return out[:m] if pad_m else out
+
+
+def int8_matmul_stacked(x, wq, scales, layer_idx, out_dtype=None):
+    """x (..., K) @ layer ``layer_idx`` of stacked int8 weights (L, K, N)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        out = _int8_matmul_stacked_2d(x2, wq, scales, layer_idx)
+    else:
+        w = jnp.take(wq, layer_idx, axis=0).astype(jnp.float32)
+        s = jnp.take(scales, layer_idx, axis=0)
+        out = jnp.dot(x2.astype(jnp.float32), w * s[None, :])
+    out = out.reshape(*lead, wq.shape[-1])
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray,
+                out_dtype=None) -> jnp.ndarray:
+    """x (..., K) @ dequant(wq (K, N), scales (N,)) -> (..., N).
+
+    Falls back to an XLA dequant+dot on non-TPU backends (tests/CPU).
+    """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    if jax.default_backend() == "tpu":
+        out = _int8_matmul_2d(x2, wq, scales)
+    else:
+        w = wq.astype(jnp.float32) * scales[None, :]
+        out = jnp.dot(x2.astype(jnp.float32), w)
+    out = out.reshape(*lead, wq.shape[1])
+    return out.astype(out_dtype) if out_dtype is not None else out
