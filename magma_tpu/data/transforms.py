@@ -110,15 +110,38 @@ class RandCropResize:
         return self._random_crop(img, self.target_size)
 
 
-def train_transform(image_size: int) -> Callable:
+def color_jitter(arr: np.ndarray, brightness=0.1, contrast=0.1,
+                 saturation=0.1, hue=0.05) -> np.ndarray:
+    """Random color jitter on a float [0,1] HWC array (parity:
+    transforms.py:75-76 T.ColorJitter(0.1, 0.1, 0.1, 0.05))."""
+    b = 1.0 + random.uniform(-brightness, brightness)
+    c = 1.0 + random.uniform(-contrast, contrast)
+    s = 1.0 + random.uniform(-saturation, saturation)
+    h = random.uniform(-hue, hue)
+
+    arr = arr * b
+    mean = arr.mean()
+    arr = (arr - mean) * c + mean
+    gray = arr.mean(axis=-1, keepdims=True)
+    arr = (arr - gray) * s + gray
+    if h:
+        # cheap hue shift: rotate channels fractionally
+        shift = arr[..., [1, 2, 0]] - arr
+        arr = arr + h * shift
+    return np.clip(arr, 0.0, 1.0)
+
+
+def train_transform(image_size: int, use_extra_transforms: bool = False) -> Callable:
     """Non-CLIP train-time pipeline (transforms.py:64-84): RGB convert,
-    RandCropResize, random hflip, to float array in [0,1]."""
+    RandCropResize, optional color jitter, random hflip, float [0,1]."""
     rcr = RandCropResize(image_size)
 
     def fn(img):
         img = _to_rgb(img)
         img = rcr(img)
         arr = _pil_to_uint8(img).astype(np.float32) / 255.0
+        if use_extra_transforms:
+            arr = color_jitter(arr)
         if random.random() < 0.5:
             arr = arr[:, ::-1]
         return arr.transpose(2, 0, 1)[None]  # (1, 3, H, W)
@@ -139,4 +162,4 @@ def get_transforms(
     if "clip" in encoder_name:
         assert input_resolution is not None
         return clip_transform(input_resolution)
-    return train_transform(image_size)
+    return train_transform(image_size, use_extra_transforms)

@@ -83,6 +83,22 @@ def log_table(name: str, model_outputs: Sequence[str],
         print(f"  output: {o!r}  |  gt: {gt!r}")
 
 
+def make_grid(images: np.ndarray, pad: int = 2) -> np.ndarray:
+    """Tile a (b, 3, H, W) batch into one (3, H', W') image for logging
+    (parity: torchvision.utils.make_grid used at train_loop.py:93)."""
+    images = np.asarray(images)
+    b, c, h, w = images.shape
+    cols = int(np.ceil(np.sqrt(b)))
+    rows = int(np.ceil(b / cols))
+    grid = np.zeros((c, rows * (h + pad) + pad, cols * (w + pad) + pad),
+                    images.dtype)
+    for i in range(b):
+        r, col = divmod(i, cols)
+        y, x = pad + r * (h + pad), pad + col * (w + pad)
+        grid[:, y:y + h, x:x + w] = images[i]
+    return grid
+
+
 def device_memory_stats() -> Dict[str, Dict[str, float]]:
     """Per-device HBM usage in GiB (empty dict on backends without stats)."""
     out = {}

@@ -48,6 +48,32 @@ def reduce_mean_across_hosts(x: jnp.ndarray) -> jnp.ndarray:
     return x  # jit-sharded losses are already globally reduced
 
 
+def get_world_info():
+    """(local_rank, rank, world_size) equivalents from the JAX runtime.
+    Parity: magma/utils.py:255-259 (env-var world info); here the runtime
+    owns topology — one process per host, devices per process."""
+    return (
+        jax.process_index(),
+        jax.process_index(),
+        jax.process_count(),
+    )
+
+
+def init_distributed() -> tuple:
+    """Multi-host initialization (parity: utils.py:262-269
+    deepspeed.init_distributed with NCCL).  On TPU pods this wires the
+    JAX distributed runtime; collectives themselves are emitted by XLA
+    from sharding annotations — there is no backend to choose."""
+    import jax
+
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process (tests, single host without coordinator)
+    return get_world_info()
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
