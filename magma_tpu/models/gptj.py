@@ -193,8 +193,14 @@ def quantize_lm_params(params: Dict) -> Dict:
         return jax.lax.map(quantize_int8, w)
 
     attn = params["blocks"]["attn"]
-    for k in ("q", "k", "v", "o"):
-        attn[k] = jax.jit(q_stacked)(attn[k])
+    # fuse q/k/v into one (L, D, 3D) matrix: one kernel launch and one
+    # larger HBM stream per layer instead of three
+    attn["qkv"] = jax.jit(
+        lambda q, k, v: jax.lax.map(
+            quantize_int8, jnp.concatenate([q, k, v], axis=-1)
+        )
+    )(attn.pop("q"), attn.pop("k"), attn.pop("v"))
+    attn["o"] = jax.jit(q_stacked)(attn["o"])
     mlp = params["blocks"]["mlp"]
     for k in ("fc_in", "fc_out"):
         mlp[k]["kernel"] = jax.jit(q_stacked)(mlp[k]["kernel"])
@@ -240,9 +246,13 @@ def _block(
     u = _layer_norm(x, bp["ln_1"], cfg.ln_eps, cdt)
 
     # --- attention branch ---
-    q = _mm(u, bp["attn"]["q"], cdt).reshape(b, s, h, hd)
-    kk = _mm(u, bp["attn"]["k"], cdt).reshape(b, s, h, hd)
-    v = _mm(u, bp["attn"]["v"], cdt).reshape(b, s, h, hd)
+    if "qkv" in bp["attn"]:  # fused int8 projection (quantize_lm_params)
+        fused = _mm(u, bp["attn"]["qkv"], cdt)        # (b, s, 3D)
+        q, kk, v = (t.reshape(b, s, h, hd) for t in jnp.split(fused, 3, -1))
+    else:
+        q = _mm(u, bp["attn"]["q"], cdt).reshape(b, s, h, hd)
+        kk = _mm(u, bp["attn"]["k"], cdt).reshape(b, s, h, hd)
+        v = _mm(u, bp["attn"]["v"], cdt).reshape(b, s, h, hd)
     q = apply_rotary(q, sin, cos, cfg.rotary_dim)
     kk = apply_rotary(kk, sin, cos, cfg.rotary_dim)
 
@@ -304,7 +314,9 @@ def _run_blocks(
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
 
-    if isinstance(blocks["attn"]["q"], dict):  # int8-quantized weights
+    if "qkv" in blocks["attn"] or isinstance(
+        blocks["attn"].get("q"), dict
+    ):  # int8-quantized weights
         return _run_blocks_quantized(
             cfg, blocks, x, sin, cos, kv_len=kv_len, cache=cache,
             cache_index=cache_index, remat=remat,
@@ -351,7 +363,8 @@ def _run_blocks_quantized(
     tripling HBM traffic and erasing the int8 bandwidth win.
     """
     L = cfg.n_layers
-    big_attn = {k: blocks["attn"][k] for k in ("q", "k", "v", "o")}
+    attn_keys = ("qkv", "o") if "qkv" in blocks["attn"] else ("q", "k", "v", "o")
+    big_attn = {k: blocks["attn"][k] for k in attn_keys}
     big_mlp = {
         "fc_in": blocks["mlp"]["fc_in"]["kernel"],
         "fc_out": blocks["mlp"]["fc_out"]["kernel"],
@@ -360,7 +373,7 @@ def _run_blocks_quantized(
         k: v for k, v in blocks.items() if k not in ("attn", "mlp")
     }
     small["attn"] = {
-        k: v for k, v in blocks["attn"].items() if k not in ("q", "k", "v", "o")
+        k: v for k, v in blocks["attn"].items() if k not in attn_keys
     }
     small["mlp"] = {
         "fc_in": {"bias": blocks["mlp"]["fc_in"]["bias"]},
@@ -370,7 +383,7 @@ def _run_blocks_quantized(
     def make_bp(small_l, idx):
         bp = dict(small_l)
         bp["attn"] = dict(small_l["attn"])
-        for k in ("q", "k", "v", "o"):
+        for k in attn_keys:
             bp["attn"][k] = {**big_attn[k], "idx": idx}
         bp["mlp"] = {
             "fc_in": {"kernel": {**big_mlp["fc_in"], "idx": idx},

@@ -39,6 +39,7 @@ def quantize_int8(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def _pick_block(s: int, prefer=(512, 384, 256, 128)) -> int:
+    # NOTE: prefer tuples are tuned on v5e; see scripts/bench_decode.py
     for b in prefer:
         if s % b == 0:
             return b
@@ -78,7 +79,7 @@ def _int8_matmul_2d(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray):
     if mp % bm:
         bm = 8
     bk = _pick_block(k)
-    bn = _pick_block(n)
+    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
     n_k = k // bk
 
     out = pl.pallas_call(
@@ -98,6 +99,7 @@ def _int8_matmul_2d(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray):
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(x, wq, scales.reshape(1, n))
     return out[:m] if pad_m else out
@@ -154,7 +156,7 @@ def _int8_matmul_stacked_2d(x, wq, scales, layer_idx):
     if mp % bm:
         bm = 8
     bk = _pick_block(k)
-    bn = _pick_block(n)
+    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
     n_k = k // bk
 
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
@@ -180,6 +182,7 @@ def _int8_matmul_stacked_2d(x, wq, scales, layer_idx):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(idx, x, wq, scales.reshape(L, 1, n))
     return out[:m] if pad_m else out
