@@ -274,6 +274,21 @@ class Magma:
         )
         return loss, logits
 
+    def quantize_for_serving(self) -> "Magma":
+        """Quantize the frozen LM to int8 weight-only for serving (see
+        ops/quant.py): ~1.7x single-stream decode throughput, ~half the
+        HBM footprint, argmax-identical next-token predictions in
+        practice.  Irreversible on this instance (originals are freed);
+        training requires the full-precision parameters.
+
+        For batched-throughput serving (batch >= 8) bf16 can outperform
+        int8 on v5e (MXU-bound regime) — benchmark both with bench.py.
+        """
+        from magma_tpu.models.gptj import quantize_lm_params
+
+        self.params["lm"] = quantize_lm_params(self.params["lm"])
+        return self
+
     # ------------------------------------------------------------------
     # Checkpoint
     # ------------------------------------------------------------------
