@@ -129,6 +129,11 @@ class MultimodalConfig:
     # Remat (gradient checkpointing) for LM blocks; replaces
     # language_model.py:23 gradient_checkpointing.
     remat: bool = True
+    # QLoRA-style training: store the frozen LM as int8 (halves its HBM
+    # footprint; gradients flow through dedicated Pallas kernels; weight
+    # cotangents are structurally zero).  Enables full-scale adapter
+    # finetuning on a single 16 GB chip.
+    train_lm_int8: bool = False
     # LM size override for tests/small runs: dict(n_layers=..., d_model=...).
     lm_overrides: Optional[dict] = None
     # Vision tower overrides for tests (e.g. dict(width=8, layers=(1,1,1,1))).

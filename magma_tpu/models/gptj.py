@@ -56,6 +56,9 @@ class GPTJConfig:
     scale_attn: bool = True        # scores / sqrt(head_dim)
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # adapters keep fp32 masters even when the frozen LM is stored bf16
+    # (they are the trainable set; optimizer quality wants fp32)
+    adapter_param_dtype: Any = jnp.float32
     attention_impl: str = "flash"
     remat: bool = True
     mlp_adapter: Optional[AdapterSpec] = None
@@ -138,11 +141,11 @@ def init_params(rng: jax.Array, cfg: GPTJConfig) -> Dict:
         params["blocks"]["attn"]["o_bias"] = jnp.zeros((L, D), pd)
     if cfg.mlp_adapter is not None:
         params["blocks"]["adapter_mlp"] = init_adapter(
-            next(k), cfg.mlp_adapter, D, L, pd
+            next(k), cfg.mlp_adapter, D, L, cfg.adapter_param_dtype
         )
     if cfg.attn_adapter is not None:
         params["blocks"]["adapter_attn"] = init_adapter(
-            next(k), cfg.attn_adapter, D, L, pd
+            next(k), cfg.attn_adapter, D, L, cfg.adapter_param_dtype
         )
     return params
 
@@ -428,8 +431,12 @@ def forward(
     cache: Optional[Dict] = None,
     cache_index: Optional[jnp.ndarray] = None,
     remat: Optional[bool] = None,
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
-    """Full LM forward from embeddings.  Returns (logits fp32, new cache).
+    """Full LM forward from embeddings.  Returns (logits fp32, new cache),
+    or (hidden post-ln_f, new cache) with ``return_hidden=True`` — used by
+    the chunked-loss training path so the (b, s, 50304) fp32 logits never
+    materialize.
 
     ``inputs_embeds`` mirrors the reference's inputs_embeds path
     (magma/magma.py:270, sampling.py:81-85), which MAGMA uses because image
@@ -452,6 +459,8 @@ def forward(
     )
 
     x = _layer_norm(x, params["ln_f"], cfg.ln_eps, cdt)
+    if return_hidden:
+        return x, new_cache
     if "lm_head_q" in params:  # int8 serving head (quantize_lm_params)
         logits = _mm(x, params["lm_head_q"], jnp.float32)
     else:
@@ -460,6 +469,16 @@ def forward(
             x, params["wte"].astype(cdt).T, preferred_element_type=jnp.float32
         )
     return logits, new_cache
+
+
+def lm_head(cfg: GPTJConfig, params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Hidden states -> fp32 logits (tied wte or int8 head)."""
+    if "lm_head_q" in params:
+        return _mm(hidden, params["lm_head_q"], jnp.float32)
+    return jnp.dot(
+        hidden, params["wte"].astype(hidden.dtype).T,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def embed_tokens(cfg: GPTJConfig, params: Dict, ids: jnp.ndarray) -> jnp.ndarray:

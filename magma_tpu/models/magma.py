@@ -30,7 +30,11 @@ from magma_tpu.models import gptj, image_prefix as ip_mod
 from magma_tpu.models.adapters import AdapterSpec
 from magma_tpu.ops.sampling import generate_tokens, strip_after_eos
 from magma_tpu.tokenizer import get_tokenizer
-from magma_tpu.training.labels import build_labels, causal_lm_loss
+from magma_tpu.training.labels import (
+    build_labels,
+    causal_lm_loss,
+    causal_lm_loss_chunked,
+)
 
 
 def _dtype(name: str):
@@ -50,6 +54,14 @@ def build_lm_config(config: MultimodalConfig) -> gptj.GPTJConfig:
 
     kwargs = dict(
         compute_dtype=_dtype(config.compute_dtype),
+        # frozen LM weights are stored in frozen_dtype (bf16: halves HBM;
+        # fp32 masters are pointless for parameters that never update);
+        # adapters keep fp32 masters via adapter_param_dtype
+        param_dtype=(
+            _dtype(config.frozen_dtype) if config.freeze_lm
+            else _dtype(config.param_dtype)
+        ),
+        adapter_param_dtype=_dtype(config.param_dtype),
         attention_impl=config.attention_impl,
         remat=config.remat,
         mlp_adapter=mlp_spec,
@@ -112,12 +124,21 @@ class Magma:
             if isinstance(rng, int):
                 rng = jax.random.PRNGKey(rng)
             k_lm, k_ip = jax.random.split(rng)
-            ip_params, ip_stats = ip_mod.init_params(k_ip, self.prefix_config)
+            # init under jit: the fp32 RNG -> target-dtype casts fuse, so
+            # no full-size fp32 temporaries materialize (a 6B bf16 LM would
+            # otherwise OOM a 16 GB chip during eager init)
+            lm_cfg, ip_cfg = self.lm_config, self.prefix_config
+            ip_params, ip_stats = jax.jit(
+                lambda k: ip_mod.init_params(k, ip_cfg)
+            )(k_ip)
             self.params = {
-                "lm": gptj.init_params(k_lm, self.lm_config),
+                "lm": jax.jit(lambda k: gptj.init_params(k, lm_cfg))(k_lm),
                 "image_prefix": ip_params,
             }
             self.state = {"image_prefix": ip_stats}
+            if config.train_lm_int8:
+                assert config.freeze_lm, "train_lm_int8 requires a frozen LM"
+                self.params["lm"] = gptj.quantize_lm_params(self.params["lm"])
 
     # ------------------------------------------------------------------
     # Freezing policy
@@ -233,9 +254,12 @@ class Magma:
         train: bool = True,
         rng: Optional[jax.Array] = None,
         input_embeddings: Optional[jnp.ndarray] = None,
+        return_logits: bool = False,
     ):
         """Pure loss function suitable for jax.grad.  Returns
-        (loss, (new_state, logits)).  Parity: magma/magma.py:238-276."""
+        (loss, (new_state, logits_or_None)).  Parity: magma/magma.py:238-276.
+        Training uses the chunked-loss path (logits=None); pass
+        ``return_logits=True`` for eval/debug logits."""
         assert captions is not None, "Must provide captions in training"
         assert (images is None) != (input_embeddings is None), (
             "Pass in either images, or input embeddings, not both."
@@ -261,16 +285,26 @@ class Magma:
         embeds = jnp.concatenate(
             [input_embeddings, word_embeds[:, : self.seq_len - s_img]], axis=1
         )
-        logits, _ = gptj.forward(self.lm_config, params["lm"], embeds)
-        loss = causal_lm_loss(logits, labels, self.lm_config.vocab_size)
-        return loss, (new_state, logits)
+        if return_logits:
+            logits, _ = gptj.forward(self.lm_config, params["lm"], embeds)
+            loss = causal_lm_loss(logits, labels, self.lm_config.vocab_size)
+            return loss, (new_state, logits)
+        # training path: chunked loss — the full fp32 logits tensor never
+        # materializes (see training/labels.py)
+        hidden, _ = gptj.forward(
+            self.lm_config, params["lm"], embeds, return_hidden=True
+        )
+        loss = causal_lm_loss_chunked(
+            self.lm_config, params["lm"], hidden, labels
+        )
+        return loss, (new_state, None)
 
     def forward(self, images, captions, input_embeddings=None):
         """Eager convenience wrapper (eval/debug).  Training uses
         training/train_loop.py's jitted step."""
         loss, (_, logits) = self.loss_fn(
             self.params, self.state, images, captions, train=False,
-            input_embeddings=input_embeddings,
+            input_embeddings=input_embeddings, return_logits=True,
         )
         return loss, logits
 

@@ -188,33 +188,178 @@ def _int8_matmul_stacked_2d(x, wq, scales, layer_idx):
     return out[:m] if pad_m else out
 
 
-def int8_matmul_stacked(x, wq, scales, layer_idx, out_dtype=None):
-    """x (..., K) @ layer ``layer_idx`` of stacked int8 weights (L, K, N)."""
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
+def _int8_matmul_dx_kernel(idx_ref, g_ref, w_ref, s_ref, o_ref, acc_ref,
+                           *, n_n):
+    """Backward-dx tile: dx (M, K) = (g * scales) (M, N) @ W^T — computed
+    by contracting g and W over their N dims, reading W in its stored
+    (K, N) layout.  No transposed weight copy ever materializes (XLA's AD
+    of a plain dot hoists a full transposed copy of the stacked weights —
+    ~12 GB for GPT-J 6B — which is what makes naive single-chip training
+    OOM)."""
+    nb = pl.program_id(2)
+
+    @pl.when(nb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g = g_ref[...].astype(jnp.float32) * s_ref[0]          # (bm, bn)
+    w = w_ref[0].astype(jnp.bfloat16)                      # (bk, bn)
+    acc_ref[...] += jax.lax.dot_general(
+        g.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(nb == n_n - 1)
+    def _store():
+        o_ref[...] = acc_ref[...]
+
+
+def _int8_matmul_stacked_dx(g, wq, scales, layer_idx):
+    """(M, N) cotangent -> (M, K) input cotangent for layer ``layer_idx``."""
+    m, n = g.shape
+    L, k, n2 = wq.shape
+    assert n == n2
+
+    pad_m = (-m) % 8
+    if pad_m:
+        g = jnp.pad(g, ((0, pad_m), (0, 0)))
+    mp = g.shape[0]
+    bm = min(mp, 256) if mp % 8 == 0 else 8
+    if mp % bm:
+        bm = 8
+    bn = _pick_block(n)
+    bk = _pick_block(k, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
+    n_n = n // bn
+
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_dx_kernel, n_n=n_n),
+        out_shape=jax.ShapeDtypeStruct((mp, k), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // bm, k // bk, n_n),
+            in_specs=[
+                pl.BlockSpec((bm, bn), lambda i, j, nb, idx_ref: (i, nb)),
+                pl.BlockSpec(
+                    (1, bk, bn),
+                    lambda i, j, nb, idx_ref: (idx_ref[0], j, nb),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bn),
+                    lambda i, j, nb, idx_ref: (idx_ref[0], 0, nb),
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bk), lambda i, j, nb, idx_ref: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(idx, g, wq, scales.reshape(L, 1, n))
+    return out[:m] if pad_m else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _stacked_mm(x2, wq, scales, layer_idx):
     if jax.default_backend() == "tpu":
-        out = _int8_matmul_stacked_2d(x2, wq, scales, layer_idx)
+        return _int8_matmul_stacked_2d(x2, wq, scales, layer_idx)
+    w = jnp.take(wq, layer_idx, axis=0).astype(jnp.float32)
+    s = jnp.take(scales, layer_idx, axis=0)
+    return jnp.dot(x2.astype(jnp.float32), w * s[None, :])
+
+
+def _stacked_mm_fwd(x2, wq, scales, layer_idx):
+    # zero-size dtype token: residuals must be JAX values, not np dtypes
+    dtype_token = jnp.zeros((0,), x2.dtype)
+    return _stacked_mm(x2, wq, scales, layer_idx), (wq, scales, layer_idx,
+                                                    dtype_token)
+
+
+def _stacked_mm_bwd(res, g):
+    """Quantized weights are frozen by contract: their cotangents are zero
+    (symbolic), and dx streams from the *untransposed* int8 array."""
+    import numpy as np
+
+    wq, scales, layer_idx, dtype_token = res
+    x_dtype = dtype_token.dtype
+    if jax.default_backend() == "tpu":
+        dx = _int8_matmul_stacked_dx(
+            g.astype(jnp.float32), wq, scales, layer_idx
+        )
     else:
         w = jnp.take(wq, layer_idx, axis=0).astype(jnp.float32)
         s = jnp.take(scales, layer_idx, axis=0)
-        out = jnp.dot(x2.astype(jnp.float32), w * s[None, :])
+        dx = jnp.dot(g.astype(jnp.float32) * s[None, :], w.T)
+    # integer primals take float0 (symbolic-zero) cotangents; scales' zeros
+    # are DCE'd — quantized weights are frozen by contract
+    return (
+        dx.astype(x_dtype),
+        np.zeros(wq.shape, jax.dtypes.float0),
+        jnp.zeros_like(scales),
+        np.zeros(jnp.shape(layer_idx), jax.dtypes.float0),
+    )
+
+
+_stacked_mm.defvjp(_stacked_mm_fwd, _stacked_mm_bwd)
+
+
+def int8_matmul_stacked(x, wq, scales, layer_idx, out_dtype=None):
+    """x (..., K) @ layer ``layer_idx`` of stacked int8 weights (L, K, N).
+
+    Differentiable w.r.t. ``x`` (dx via a dedicated Pallas kernel that
+    reads the weights untransposed); weight/scale cotangents are zero —
+    int8 weights are frozen by contract (QLoRA-style adapter training).
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = _stacked_mm(x2, wq, scales, jnp.asarray(layer_idx))
     out = out.reshape(*lead, wq.shape[-1])
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+@jax.custom_vjp
+def _plain_mm(x2, wq, scales):
+    if jax.default_backend() == "tpu":
+        return _int8_matmul_2d(x2, wq, scales)
+    return jnp.dot(x2.astype(jnp.float32), wq.astype(jnp.float32) * scales[None, :])
+
+
+def _plain_mm_fwd(x2, wq, scales):
+    return _plain_mm(x2, wq, scales), (wq, scales, jnp.zeros((0,), x2.dtype))
+
+
+def _plain_mm_bwd(res, g):
+    import numpy as np
+
+    wq, scales, dtype_token = res
+    x_dtype = dtype_token.dtype
+    if jax.default_backend() == "tpu":
+        dx = _int8_matmul_stacked_dx(
+            g.astype(jnp.float32), wq[None], scales[None], jnp.int32(0)
+        )
+    else:
+        dx = jnp.dot(g.astype(jnp.float32) * scales[None, :],
+                     wq.astype(jnp.float32).T)
+    return (
+        dx.astype(x_dtype),
+        np.zeros(wq.shape, jax.dtypes.float0),
+        jnp.zeros_like(scales),
+    )
+
+
+_plain_mm.defvjp(_plain_mm_fwd, _plain_mm_bwd)
 
 
 def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray,
                 out_dtype=None) -> jnp.ndarray:
     """x (..., K) @ dequant(wq (K, N), scales (N,)) -> (..., N).
 
-    Falls back to an XLA dequant+dot on non-TPU backends (tests/CPU).
+    Differentiable w.r.t. ``x`` only (weights frozen by contract).  Falls
+    back to an XLA dequant+dot on non-TPU backends (tests/CPU).
     """
     lead = x.shape[:-1]
-    k = x.shape[-1]
-    x2 = x.reshape(-1, k)
-    if jax.default_backend() == "tpu":
-        out = _int8_matmul_2d(x2, wq, scales)
-    else:
-        w = wq.astype(jnp.float32) * scales[None, :]
-        out = jnp.dot(x2.astype(jnp.float32), w)
+    x2 = x.reshape(-1, x.shape[-1])
+    out = _plain_mm(x2, wq, scales)
     out = out.reshape(*lead, wq.shape[1])
     return out.astype(out_dtype) if out_dtype is not None else out

@@ -32,14 +32,16 @@ def _path_str(path) -> str:
     )
 
 
-def lm_param_spec(path: str, ndim: int) -> P:
-    """PartitionSpec for one LM parameter, by path substring."""
+def _raw_lm_spec(path: str) -> P:
+    """Spec for a raw (unquantized) LM weight path."""
     if path.endswith("wte"):
         return P("tp", None)
     if "adapter" in path:
         return P()  # adapters are tiny; replicate
+    if path.endswith("lm_head_q"):
+        return P(None, "tp")  # (D, padded_vocab): vocab-sharded head
     if "/attn/" in path:
-        if path.endswith(("/q", "/k", "/v")):
+        if path.endswith(("/q", "/k", "/v", "/qkv")):
             return P(None, None, "tp")
         if path.endswith("/o"):
             return P(None, "tp", None)
@@ -51,6 +53,26 @@ def lm_param_spec(path: str, ndim: int) -> P:
     if "/mlp/fc_out/kernel" in path:
         return P(None, "tp", None)
     return P()  # ln_1, ln_f, fc_out bias, anything else: replicated
+
+
+def lm_param_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for one LM parameter, by path substring.
+
+    Quantized weights appear as {"q": int8 kernel, "s": per-out-channel
+    scales} sub-leaves: the int8 payload takes the kernel's spec; the
+    scales take the kernel spec minus its contraction (second-to-last)
+    axis."""
+    if path.endswith(("/q", "/s")) and not path.endswith(
+        ("attn/q", "attn/s")  # raw attn "q" projection keeps its own rule
+    ):
+        kernel_spec = _raw_lm_spec(path[:-2])
+        if path.endswith("/q"):
+            return kernel_spec
+        axes = list(kernel_spec)
+        if len(axes) >= 2:
+            axes.pop(-2)  # drop the contraction-dim entry
+        return P(*axes)
+    return _raw_lm_spec(path)
 
 
 def param_spec(path: str, ndim: int) -> P:

@@ -41,6 +41,54 @@ def build_labels(
     return jnp.where(seen_eos_before > 0, IGNORE, labels)
 
 
+def causal_lm_loss_chunked(
+    cfg,
+    lm_params,
+    hidden: jnp.ndarray,   # (b, s, D) post-ln_f hidden states
+    labels: jnp.ndarray,   # (b, s) int32 with IGNORE
+    chunk_size: int = 256,
+) -> jnp.ndarray:
+    """Shifted cross entropy computed per sequence chunk so the full
+    (b, s, 50304) fp32 logits tensor never materializes — the chunk's
+    logits are produced, consumed, and (via remat) recomputed in the
+    backward pass.  Saves >1 GB peak HBM for GPT-J at seq 2048, which is
+    the margin that lets full-scale adapter finetuning fit one 16 GB chip.
+    """
+    from magma_tpu.models import gptj
+
+    b, s, d = hidden.shape
+    h = hidden[:, :-1]
+    targets = labels[:, 1:]
+
+    pad = (-h.shape[1]) % chunk_size
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)), constant_values=IGNORE)
+    n_chunks = h.shape[1] // chunk_size
+    h = h.reshape(b, n_chunks, chunk_size, d).swapaxes(0, 1)
+    targets = targets.reshape(b, n_chunks, chunk_size).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_nll(h_c, t_c):
+        logits = gptj.lm_head(cfg, lm_params, h_c)       # (b, c, V) fp32
+        col = jnp.arange(logits.shape[-1])
+        logits = jnp.where(col < cfg.vocab_size, logits, -1e30)
+        valid = t_c != IGNORE
+        safe_t = jnp.where(valid, t_c, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        true_logit = jnp.take_along_axis(logits, safe_t[..., None], axis=-1)[..., 0]
+        return ((logz - true_logit) * valid).sum(), valid.sum()
+
+    def body(carry, xs):
+        nll, cnt = carry
+        h_c, t_c = xs
+        n, c = chunk_nll(h_c, t_c)
+        return (nll + n, cnt + c), None
+
+    (nll, count), _ = jax.lax.scan(body, (0.0, jnp.int32(0)), (h, targets))
+    return nll / jnp.maximum(count, 1)
+
+
 def causal_lm_loss(
     logits: jnp.ndarray,   # (b, s, V) fp32 (possibly vocab-padded)
     labels: jnp.ndarray,   # (b, s) int32 with IGNORE

@@ -106,4 +106,9 @@ def make_optimizer(
         opt = optax.chain(
             optax.clip_by_global_norm(config.gradient_clipping), opt
         )
+    # failure containment: a non-finite gradient (bad batch, overflow) skips
+    # the update instead of poisoning the parameters; aborts after 10
+    # consecutive bad steps.  Replaces the role of DeepSpeed's dynamic loss
+    # scaler recovery (config.py:128) in a bf16 world.
+    opt = optax.apply_if_finite(opt, max_consecutive_errors=10)
     return opt, labels

@@ -77,6 +77,7 @@ def _lm_from_torch(sd: Dict, lm_cfg, prefix: str = "lm.transformer.") -> Dict:
     def get(name):
         return np.asarray(sd[prefix + name], np.float32)
 
+    apd = getattr(lm_cfg, "adapter_param_dtype", pd)
     mlp_ad = lm_cfg.mlp_adapter
     attn_ad = lm_cfg.attn_adapter
     mlp_base = "mlp.0." if mlp_ad is not None else "mlp."
@@ -153,21 +154,21 @@ def _lm_from_torch(sd: Dict, lm_cfg, prefix: str = "lm.transformer.") -> Dict:
         ad = {
             "down": {
                 "kernel": jnp.asarray(
-                    stack(lambda i: _t(get(f"h.{i}.{base}{d}.weight"))), pd
+                    stack(lambda i: _t(get(f"h.{i}.{base}{d}.weight"))), apd
                 ),
-                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{d}.bias")), pd),
+                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{d}.bias")), apd),
             },
             "up": {
                 "kernel": jnp.asarray(
-                    stack(lambda i: _t(get(f"h.{i}.{base}{u}.weight"))), pd
+                    stack(lambda i: _t(get(f"h.{i}.{base}{u}.weight"))), apd
                 ),
-                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{u}.bias")), pd),
+                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{u}.bias")), apd),
             },
         }
         if mlp_ad.add_layernorm:
             ad["ln"] = {
-                "scale": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.weight")), pd),
-                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.bias")), pd),
+                "scale": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.weight")), apd),
+                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.bias")), apd),
             }
         params["blocks"]["adapter_mlp"] = ad
 
@@ -177,25 +178,25 @@ def _lm_from_torch(sd: Dict, lm_cfg, prefix: str = "lm.transformer.") -> Dict:
         ad = {
             "down": {
                 "kernel": jnp.asarray(
-                    stack(lambda i: _t(get(f"h.{i}.{base}{d}.weight"))), pd
+                    stack(lambda i: _t(get(f"h.{i}.{base}{d}.weight"))), apd
                 ),
-                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{d}.bias")), pd),
+                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{d}.bias")), apd),
             },
             "up": {
                 "kernel": jnp.asarray(
-                    stack(lambda i: _t(get(f"h.{i}.{base}{u}.weight"))), pd
+                    stack(lambda i: _t(get(f"h.{i}.{base}{u}.weight"))), apd
                 ),
-                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{u}.bias")), pd),
+                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}{u}.bias")), apd),
             },
         }
         if attn_ad.add_layernorm:
             ad["ln"] = {
-                "scale": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.weight")), pd),
-                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.bias")), pd),
+                "scale": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.weight")), apd),
+                "bias": jnp.asarray(stack(lambda i: get(f"h.{i}.{base}0.bias")), apd),
             }
         if attn_ad.adapter_type == "scaled_parallel":
             ad["scale"] = jnp.asarray(
-                stack(lambda i: get(f"h.{i}.attn.adapter_scale")).reshape(L), pd
+                stack(lambda i: get(f"h.{i}.attn.adapter_scale")).reshape(L), apd
             )
         params["blocks"]["adapter_attn"] = ad
 

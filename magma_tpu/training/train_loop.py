@@ -50,6 +50,7 @@ class Trainer:
         self.global_step = 0
 
         mask = model.trainable_mask()
+        self._mask = mask
         trainable, frozen = partition(model.params, mask)
         self.optimizer, self.opt_labels = make_optimizer(config, trainable)
 
@@ -65,6 +66,13 @@ class Trainer:
         self.state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl), model.state
         )
+        # the Trainer owns the (re-placed) parameters from here: drop the
+        # facade's references so the original buffers free immediately —
+        # otherwise two full copies of a 6B model coexist and OOM a chip.
+        # sync_model() hands ownership back for generation/checkpointing.
+        model.params = None
+        model.state = None
+        del trainable, frozen
 
         # optimizer state created under jit from sharded params inherits
         # the parameter shardings (ZeRO-style state partitioning for free)
@@ -93,27 +101,35 @@ class Trainer:
                 return loss, new_state
 
             grad_fn = jax.value_and_grad(micro, has_aux=True)
-
-            def body(carry, xs):
-                g_acc, loss_acc, state = carry
-                imgs, caps, i = xs
-                (loss, new_state), grads = grad_fn(
-                    trainable, state, imgs, caps,
-                    jax.random.fold_in(rng, i),
-                )
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-                return (g_acc, loss_acc + loss, new_state), None
-
             ga = images.shape[0]
-            g0 = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), trainable
-            )
-            (grads, loss_sum, new_state), _ = jax.lax.scan(
-                body, (g0, 0.0, state),
-                (images, captions, jnp.arange(ga)),
-            )
-            grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
-            loss = loss_sum / ga
+
+            if ga == 1:
+                # no accumulation buffers: saves a full fp32 gradient-sized
+                # allocation, the margin for single-chip 6B finetuning
+                (loss, new_state), grads = grad_fn(
+                    trainable, state, images[0], captions[0],
+                    jax.random.fold_in(rng, 0),
+                )
+            else:
+                def body(carry, xs):
+                    g_acc, loss_acc, state = carry
+                    imgs, caps, i = xs
+                    (l, new_state), grads = grad_fn(
+                        trainable, state, imgs, caps,
+                        jax.random.fold_in(rng, i),
+                    )
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                    return (g_acc, loss_acc + l, new_state), None
+
+                g0 = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), trainable
+                )
+                (grads, loss_sum, new_state), _ = jax.lax.scan(
+                    body, (g0, 0.0, state),
+                    (images, captions, jnp.arange(ga)),
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
+                loss = loss_sum / ga
 
             updates, new_opt_state = optimizer.update(
                 grads, opt_state, trainable
@@ -314,7 +330,7 @@ class Trainer:
         matching utils.py:99-117 semantics."""
         from magma_tpu.training import checkpoint as ckpt
 
-        mask = self.model.trainable_mask()
+        mask = self._mask
         params, state, opt_state, step = ckpt.load_checkpoint(
             load_dir, self.params, self.state,
             self.opt_state if load_optimizer else None,
