@@ -111,6 +111,9 @@ def main():
         random-init model would otherwise emit EOS immediately and fake a
         huge tokens/sec)."""
         b = prompt_embeds.shape[0]
+        # compiled executables pin their temp arenas on tunneled TPUs; free
+        # the previous stage's arena before compiling this one
+        jax.clear_caches()
 
         def run(seed):
             toks, steps = generate_tokens(
@@ -140,8 +143,10 @@ def main():
     # (a) bf16 single-stream
     tps_bf16, t_bf16 = bench_generate(lm_params, prompt, "bf16 b=1")
 
-    # (b) bf16 batched decode (interleaved prompts, BASELINE config 3)
-    batch = 8
+    # (b) bf16 batched decode (interleaved prompts, BASELINE config 3).
+    # batch 4: the b=8 bf16 program needs args 11.8G + 4.5G of XLA weight
+    # relayout temps, over a 16 GB chip's budget; int8 runs b=8 fine.
+    batch = 4
     prompt_b = jnp.broadcast_to(prompt, (batch, *prompt.shape[1:]))
     tps_bf16_b8, _ = bench_generate(lm_params, prompt_b, f"bf16 b={batch}")
 
@@ -149,7 +154,8 @@ def main():
     log("quantizing to int8...")
     lm_params = gptj.quantize_lm_params(lm_params)  # frees bf16 originals
     tps_int8, t_int8 = bench_generate(lm_params, prompt, "int8 b=1")
-    tps_int8_b8, _ = bench_generate(lm_params, prompt_b, f"int8 b={batch}")
+    prompt_b8 = jnp.broadcast_to(prompt, (8, *prompt.shape[1:]))
+    tps_int8_b8, _ = bench_generate(lm_params, prompt_b8, "int8 b=8")
 
     tps = tps_int8
     result = {
@@ -160,7 +166,7 @@ def main():
         "model": "gptj-6b+rn50x16 (int8 weight-only serving)",
         "detail": {
             "decode_tps_bf16_b1": round(tps_bf16, 2),
-            "decode_tps_bf16_b8": round(tps_bf16_b8, 2),
+            "decode_tps_bf16_b4": round(tps_bf16_b8, 2),
             "decode_tps_int8_b1": round(tps_int8, 2),
             "decode_tps_int8_b8": round(tps_int8_b8, 2),
             "caption_e2e_p50_s": round(t_int8 + t_vision_ms / 1e3, 3),
