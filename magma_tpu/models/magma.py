@@ -226,10 +226,19 @@ class Magma:
         """KV-cached sampling.  Parity: magma.py:214-236 + sampling.py."""
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        embeddings = jnp.asarray(embeddings)
+        # bucket prompt lengths to multiples of 64: one compiled program
+        # serves a whole bucket of lengths (prompt_len masks the padding),
+        # instead of recompiling the decode loop per prompt length
+        s = embeddings.shape[1]
+        pad = (-s) % 64
+        if pad:
+            embeddings = jnp.pad(embeddings, ((0, 0), (0, pad), (0, 0)))
         tokens, _ = generate_tokens(
-            self.lm_config, self.params["lm"], jnp.asarray(embeddings), rng,
+            self.lm_config, self.params["lm"], embeddings, rng,
             max_steps=max_steps, temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p), eos_token=self.eos_token,
+            prompt_len=jnp.int32(s),
         )
         tokens = np.asarray(tokens)
         if not decode:
