@@ -82,10 +82,13 @@ def main():
     times = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(image_to_prefix(raw, ip_params, ip_stats))
+        e = image_to_prefix(raw, ip_params, ip_stats)
+        # scalar fetch forces a real device sync (block_until_ready has
+        # proven unreliable for timing through the tunneled TPU transport)
+        float(e.astype(jnp.float32).sum())
         times.append(time.time() - t0)
     t_vision_ms = sorted(times)[len(times) // 2] * 1e3
-    log(f"vision p50: {t_vision_ms:.1f} ms")
+    log(f"vision p50: {t_vision_ms:.1f} ms (incl. host sync)")
     del ip_params, ip_stats
     image_to_prefix.clear_cache()
 
