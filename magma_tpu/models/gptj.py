@@ -259,33 +259,32 @@ def _block(
     q = apply_rotary(q, sin, cos, cfg.rotary_dim)
     kk = apply_rotary(kk, sin, cos, cfg.rotary_dim)
 
-    new_cache = None
+    new_kv = None
     if cache_kv is None:
         attn = causal_attention(
             q, kk, v, scale=scale, impl=cfg.attention_impl, kv_len=kv_len
         )
     else:
+        # Deferred cache write: the block emits only its NEW K/V entries
+        # (tiny); the caller writes the stacked cache once outside the
+        # layer scan.  Returning updated full caches as scan outputs would
+        # rewrite the entire cache every token (hundreds of MB/token of
+        # pure copy traffic at long contexts).
         k_cache, v_cache = cache_kv
         idx = cache_index.astype(jnp.int32)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, kk.astype(k_cache.dtype), (0, idx, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, idx, 0, 0)
-        )
-        new_cache = (k_cache, v_cache)
+        new_kv = (kk.astype(k_cache.dtype), v.astype(v_cache.dtype))
         if s > 1:
-            # prefill: keys are the just-written prompt positions
+            # prefill: keys are the just-computed prompt positions
             attn = causal_attention(
                 q, kk, v, scale=scale, impl=cfg.attention_impl,
                 kv_len=kv_len, q_offset=0,
             )
         else:
-            # single-token decode against the full cache
-            cur_len = idx + 1
+            # single-token decode: old cache (positions < idx) + the
+            # current token's K/V as an explicit extra key
             attn = decode_attention(
-                q, k_cache.astype(cdt), v_cache.astype(cdt), cur_len,
-                scale=scale,
+                q, k_cache.astype(cdt), v_cache.astype(cdt), idx,
+                scale=scale, self_kv=(kk, v),
             )
 
     a = _mm(attn.reshape(b, s, D), bp["attn"]["o"], cdt)
@@ -301,7 +300,21 @@ def _block(
     m = m + bp["mlp"]["fc_out"]["bias"].astype(cdt)
     m = apply_adapter(bp.get("adapter_mlp"), cfg.mlp_adapter, u, m, cdt)
 
-    return x + a + m, new_cache
+    return x + a + m, new_kv
+
+
+def _write_cache(cache: Dict, k_new, v_new, cache_index) -> Dict:
+    """One stacked dynamic-update-slice per tensor: writes all layers' new
+    K/V ((L, b, s, h, hd)) into the (L, b, max_len, h, hd) cache."""
+    idx = jnp.asarray(cache_index, jnp.int32)
+    return {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k_new, (0, 0, idx, 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v_new, (0, 0, idx, 0, 0)
+        ),
+    }
 
 
 def _run_blocks(
@@ -344,7 +357,7 @@ def _run_blocks(
         return y, new_kv
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (blocks, cache["k"], cache["v"]))
-    return x, {"k": k_new, "v": v_new}
+    return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
 def _run_blocks_quantized(
@@ -418,7 +431,7 @@ def _run_blocks_quantized(
     x, (k_new, v_new) = jax.lax.scan(
         body, x, (small, jnp.arange(L), cache["k"], cache["v"])
     )
-    return x, {"k": k_new, "v": v_new}
+    return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
 def forward(

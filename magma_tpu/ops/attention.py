@@ -106,13 +106,19 @@ def decode_attention(
     cur_len: jnp.ndarray,
     *,
     scale: float,
+    self_kv=None,
 ) -> jnp.ndarray:
     """Single-token attention against a fixed-shape KV cache.
 
     q: (b, 1, h, hd); k_cache/v_cache: (b, max_len, h, hd); cur_len: (b,) or
-    scalar — number of valid cache entries (the current token's K/V must
-    already be written).  Replaces the HF past_key_values step in the
-    reference decode loop (magma/sampling.py:87-90).
+    scalar — number of valid cache entries.  Replaces the HF
+    past_key_values step in the reference decode loop (sampling.py:87-90).
+
+    ``self_kv=(k_new, v_new)`` supplies the current token's K/V as an
+    explicit extra key instead of requiring it to be pre-written into the
+    cache — this lets the caller defer the cache write to one bulk update
+    outside the layer scan (see gptj._write_cache), avoiding full-cache
+    copy traffic every token.
 
     One (b, h, 1, max_len) matmul — small enough that XLA's fused path is
     at speed-of-light (HBM-bandwidth-bound on reading the cache).
@@ -129,5 +135,22 @@ def decode_attention(
         jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1) < cur_len[:, None]
     )[:, None, None, :]
     scores = jnp.where(valid, scores, NEG_INF)
+
+    if self_kv is not None:
+        k_self, v_self = self_kv  # (b, 1, h, hd) each
+        s_self = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_self.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.concatenate([scores, s_self], axis=-1)
+
     weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v_cache)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights[..., :max_len], v_cache
+    )
+    if self_kv is not None:
+        out = out + jnp.einsum(
+            "bhqk,bkhd->bqhd", weights[..., max_len:],
+            v_self.astype(v_cache.dtype),
+        )
+    return out

@@ -12,7 +12,8 @@ lm_cfg = gptj.GPTJConfig.gptj_6b(param_dtype=jnp.bfloat16,
 params = jax.jit(lambda k: gptj.init_params(k, lm_cfg))(jax.random.PRNGKey(0))
 jax.block_until_ready(params["wte"])
 params = gptj.quantize_lm_params(params)
-prompt = jnp.zeros((1, 149, 4096), jnp.bfloat16)
+import os as _os
+prompt = jnp.zeros((1, int(_os.environ.get("PROMPT", "149")), 4096), jnp.bfloat16)
 MS = 64
 def run(seed):
     toks, steps = generate_tokens(lm_cfg, params, prompt, jax.random.PRNGKey(seed),
