@@ -60,6 +60,10 @@ class GPTJConfig:
     # (they are the trainable set; optimizer quality wants fp32)
     adapter_param_dtype: Any = jnp.float32
     attention_impl: str = "flash"
+    # decode cache read: "xla" (dynamic per-layer slice; reliably fast) or
+    # "pallas" (ops/decode_kernel — reads the cache exactly once, but the
+    # dynamically-indexed pipeline measured slower end-to-end on v5e)
+    decode_impl: str = "xla"
     remat: bool = True
     mlp_adapter: Optional[AdapterSpec] = None
     attn_adapter: Optional[AdapterSpec] = None
@@ -267,10 +271,10 @@ def _block(
     else:
         # Deferred cache write: the block emits only its NEW K/V entries
         # (tiny); the caller writes the stacked cache once outside the
-        # layer scan.  Returning updated full caches as scan outputs would
-        # rewrite the entire cache every token (hundreds of MB/token of
-        # pure copy traffic at long contexts).
-        k_cache, v_cache = cache_kv
+        # layer scan.  Reads go straight to the full stacked cache (by
+        # layer index) so the scan never copies cache slices — at long
+        # contexts those copies cost GB/token.
+        k_cache, v_cache, layer_idx = cache_kv
         idx = cache_index.astype(jnp.int32)
         new_kv = (kk.astype(k_cache.dtype), v.astype(v_cache.dtype))
         if s > 1:
@@ -279,11 +283,20 @@ def _block(
                 q, kk, v, scale=scale, impl=cfg.attention_impl,
                 kv_len=kv_len, q_offset=0,
             )
+        elif jax.default_backend() == "tpu" and cfg.decode_impl == "pallas":
+            # fused Pallas decode over the stacked cache (ops/decode_kernel)
+            from magma_tpu.ops.decode_kernel import decode_attention_stacked
+
+            attn = decode_attention_stacked(
+                q, k_cache, v_cache, layer_idx, idx, (kk, v), scale=scale
+            )
         else:
-            # single-token decode: old cache (positions < idx) + the
-            # current token's K/V as an explicit extra key
+            k_l = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0,
+                                               keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0,
+                                               keepdims=False)
             attn = decode_attention(
-                q, k_cache.astype(cdt), v_cache.astype(cdt), idx,
+                q, k_l.astype(cdt), v_l.astype(cdt), idx,
                 scale=scale, self_kv=(kk, v),
             )
 
@@ -350,13 +363,16 @@ def _run_blocks(
         return x, None
 
     def body(carry, layer_in):
-        bp, k_c, v_c = layer_in
+        bp, idx = layer_in
         y, new_kv = _block(
-            cfg, bp, carry, sin, cos, kv_len, (k_c, v_c), cache_index
+            cfg, bp, carry, sin, cos, kv_len,
+            (cache["k"], cache["v"], idx), cache_index,
         )
         return y, new_kv
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (blocks, cache["k"], cache["v"]))
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (blocks, jnp.arange(cfg.n_layers))
+    )
     return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
@@ -423,14 +439,13 @@ def _run_blocks_quantized(
         return x, None
 
     def body(carry, xs):
-        small_l, idx, k_c, v_c = xs
+        small_l, idx = xs
         y, new_kv = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
-                           kv_len, (k_c, v_c), cache_index)
+                           kv_len, (cache["k"], cache["v"], idx),
+                           cache_index)
         return y, new_kv
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (small, jnp.arange(L), cache["k"], cache["v"])
-    )
+    x, (k_new, v_new) = jax.lax.scan(body, x, (small, jnp.arange(L)))
     return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
