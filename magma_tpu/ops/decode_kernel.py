@@ -86,6 +86,7 @@ def decode_attention_stacked(
     self_kv: Tuple[jnp.ndarray, jnp.ndarray],
     *,
     scale: float,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused decode attention for layer ``layer_idx``.  Returns
     (b, 1, h, hd) in q's dtype."""
@@ -146,6 +147,7 @@ def decode_attention_stacked(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(meta, q8, kf, vf)
     acc = acc[:, :, 0]
     m = m[:, :, 0]
