@@ -1,0 +1,57 @@
+"""Observability utility tests."""
+
+import numpy as np
+
+from magma_tpu.observability import StepTimer, log_table, make_grid
+
+
+def test_step_timer():
+    t = StepTimer(window=3)
+    for _ in range(5):
+        with t:
+            pass
+    assert len(t._times) == 3  # window respected
+    s = t.summary()
+    assert {"step_time_p50", "step_time_p95", "steps_per_sec"} <= set(s)
+    assert s["steps_per_sec"] > 0
+
+
+def test_make_grid_shapes():
+    g = make_grid(np.zeros((5, 3, 10, 12), np.float32), pad=1)
+    assert g.shape[0] == 3
+    # 3 cols x 2 rows of 10x12 tiles with 1px padding
+    assert g.shape == (3, 2 * 11 + 1, 3 * 13 + 1)
+
+
+def test_log_table_plaintext(capsys):
+    log_table("vqa", ["a cat"], [["cat", "kitty"]], global_step=7)
+    out = capsys.readouterr().out
+    assert "a cat" in out and "step 7" in out
+
+
+def test_quantize_for_serving_facade():
+    from magma_tpu.config import MultimodalConfig
+    from magma_tpu.models.magma import Magma
+
+    cfg = MultimodalConfig(
+        batch_size=1, train_steps=1, encoder_name="clip_resnet_large",
+        adapter_config={"mlp": {"adapter_type": "normal",
+                                "downsample_factor": 4}},
+        lm_overrides=dict(n_layers=2, n_heads=4, d_model=128, d_ff=512,
+                          rotary_dim=16, max_seq_len=128,
+                          attention_impl="xla", remat=False),
+        encoder_overrides=dict(width=16, blocks=(1, 1, 1, 1),
+                               input_resolution=32),
+        image_size=32,
+    )
+    m = Magma(cfg)
+    emb = m.embed([np.zeros((1, 3, 32, 32), np.float32)])
+    greedy_before = m.generate(emb, max_steps=3, temperature=0.0,
+                               decode=False)
+    m.quantize_for_serving()
+    assert "lm_head_q" in m.params["lm"]
+    greedy_after = m.generate(emb, max_steps=3, temperature=0.0,
+                              decode=False)
+    # int8 weight-only is ~lossless: greedy tokens unchanged on a tiny model
+    np.testing.assert_array_equal(np.asarray(greedy_before),
+                                  np.asarray(greedy_after))
