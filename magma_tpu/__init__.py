@@ -26,9 +26,15 @@ __version__ = "0.1.0"
 
 _LAZY = {
     "Magma": ("magma_tpu.models.magma", "Magma"),
+    "MagmaClassifier": ("magma_tpu.models.classifier", "MagmaClassifier"),
+    "Trainer": ("magma_tpu.training.train_loop", "Trainer"),
     "ImageInput": ("magma_tpu.data.image_input", "ImageInput"),
     "ImgCptDataset": ("magma_tpu.data.dataset", "ImgCptDataset"),
     "collate_fn": ("magma_tpu.data.dataset", "collate_fn"),
+    "convert_dataset": ("magma_tpu.data.convert", "convert_dataset"),
+    "BatchLoader": ("magma_tpu.data.loader", "BatchLoader"),
+    "make_mesh": ("magma_tpu.parallel.mesh", "make_mesh"),
+    "get_transforms": ("magma_tpu.data.transforms", "get_transforms"),
 }
 
 
