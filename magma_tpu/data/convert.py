@@ -66,7 +66,7 @@ def convert_dataset(
 
             if hash_fn is not None:
                 try:
-                    from PIL import Image, UnidentifiedImageError
+                    from PIL import Image
 
                     img = Image.open(img_path).convert("RGB")
                     hash_str = str(hash_fn(img))

@@ -27,7 +27,7 @@ import json
 import random
 import traceback
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

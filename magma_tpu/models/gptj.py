@@ -28,7 +28,6 @@ TPU-native design decisions (vs a torch translation):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

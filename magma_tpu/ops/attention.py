@@ -16,7 +16,6 @@ statistics regardless of input dtype.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -20,7 +20,7 @@ decoder LMs at 6B scale.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ shard_map given a mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
