@@ -181,6 +181,25 @@ def main():
             except Exception as e:  # caption sampling must never kill a run
                 print_main(f"inference step failed: {e}")
 
+            # downstream QA accuracy (the reference's vqa_dir/gqa_dir knobs,
+            # configs/MAGMA_v2.yml:30-31, had no eval code behind them)
+            for tag, qa_dir in (("vqa", config.vqa_dir), ("gqa", config.gqa_dir)):
+                if not qa_dir:
+                    continue
+                try:
+                    from magma_tpu.evaluation import eval_vqa
+
+                    trainer.sync_model()
+                    res = eval_vqa(model, qa_dir, n_samples=64)
+                    logger.log({f"eval/{tag}_accuracy": res["accuracy"]},
+                               global_step)
+                    print_main(
+                        f"step {global_step} {tag} accuracy "
+                        f"{res['accuracy']:.3f} over {res['n']} questions"
+                    )
+                except Exception as e:
+                    print_main(f"{tag} eval failed: {e}")
+
         if config.save is not None and global_step % config.save_every == 0:
             trainer.save(config.save)
             print_main(f"saving model at step {global_step}")
