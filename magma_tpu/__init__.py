@@ -35,6 +35,9 @@ _LAZY = {
     "BatchLoader": ("magma_tpu.data.loader", "BatchLoader"),
     "make_mesh": ("magma_tpu.parallel.mesh", "make_mesh"),
     "get_transforms": ("magma_tpu.data.transforms", "get_transforms"),
+    "load_pretrained_encoder": (
+        "magma_tpu.training.torch_convert", "load_pretrained_encoder"
+    ),
 }
 
 

@@ -356,7 +356,12 @@ class Magma:
         else:
             from magma_tpu.training.torch_convert import load_torch_checkpoint
 
-            model.params = load_torch_checkpoint(
+            model.params, state = load_torch_checkpoint(
                 str(path), model.params, model.lm_config, model.prefix_config
             )
+            # BN running stats travel as ordinary state-dict entries in the
+            # reference checkpoint (magma.py:292-297); dropping them would
+            # silently leave fresh mean=0/var=1 stats in the vision tower
+            if state is not None:
+                model.state = state
         return model

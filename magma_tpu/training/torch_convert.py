@@ -265,6 +265,127 @@ def _clip_resnet_from_torch(
 
 
 # ---------------------------------------------------------------------------
+# CLIP ViT-B/32 visual import (OpenAI CLIP naming)
+# ---------------------------------------------------------------------------
+
+
+def _clip_vit_from_torch(sd: Dict, enc_cfg, prefix: str) -> Dict:
+    """OpenAI CLIP VisionTransformer state dict -> clip_vit pytree.
+
+    Naming per ``clip.load("ViT-B/32").visual`` (the reference's "clip"
+    encoder, image_encoders.py:62): conv1 patch embed, class_embedding,
+    positional_embedding, ln_pre/ln_post, transformer.resblocks.{i} with
+    torch-MHA fused in_proj, and the final (W, embed_dim) ``proj`` matrix
+    (stored un-transposed: applied as ``x @ proj``).
+    """
+    import jax.numpy as jnp
+
+    L = enc_cfg.layers
+
+    def get(name):
+        return np.asarray(sd[prefix + name], np.float32)
+
+    def stack(fmt, f=lambda x: x):
+        return np.stack([f(get(fmt.format(i=i))) for i in range(L)], axis=0)
+
+    rb = "transformer.resblocks.{i}."
+    return {
+        "patch_embed": jnp.asarray(_conv(get("conv1.weight"))),
+        "class_token": jnp.asarray(get("class_embedding")),
+        "pos_embed": jnp.asarray(get("positional_embedding")),
+        "ln_pre": {
+            "scale": jnp.asarray(get("ln_pre.weight")),
+            "bias": jnp.asarray(get("ln_pre.bias")),
+        },
+        "blocks": {
+            "ln_1": {
+                "scale": jnp.asarray(stack(rb + "ln_1.weight")),
+                "bias": jnp.asarray(stack(rb + "ln_1.bias")),
+            },
+            # torch MHA in_proj rows are [q; k; v]; transposing gives
+            # columns [q | k | v], matching clip_vit's split on the last axis
+            "attn": {
+                "qkv": {
+                    "kernel": jnp.asarray(stack(rb + "attn.in_proj_weight", _t)),
+                    "bias": jnp.asarray(stack(rb + "attn.in_proj_bias")),
+                },
+                "out": {
+                    "kernel": jnp.asarray(stack(rb + "attn.out_proj.weight", _t)),
+                    "bias": jnp.asarray(stack(rb + "attn.out_proj.bias")),
+                },
+            },
+            "ln_2": {
+                "scale": jnp.asarray(stack(rb + "ln_2.weight")),
+                "bias": jnp.asarray(stack(rb + "ln_2.bias")),
+            },
+            "mlp": {
+                "fc": {
+                    "kernel": jnp.asarray(stack(rb + "mlp.c_fc.weight", _t)),
+                    "bias": jnp.asarray(stack(rb + "mlp.c_fc.bias")),
+                },
+                "proj": {
+                    "kernel": jnp.asarray(stack(rb + "mlp.c_proj.weight", _t)),
+                    "bias": jnp.asarray(stack(rb + "mlp.c_proj.bias")),
+                },
+            },
+        },
+        "ln_post": {
+            "scale": jnp.asarray(get("ln_post.weight")),
+            "bias": jnp.asarray(get("ln_post.bias")),
+        },
+        "proj": jnp.asarray(get("proj")),
+    }
+
+
+# ---------------------------------------------------------------------------
+# NF-ResNet50 import (timm naming)
+# ---------------------------------------------------------------------------
+
+
+def _nf_resnet_from_torch(sd: Dict, enc_cfg, prefix: str) -> Dict:
+    """timm ``nf_resnet50`` state dict -> nfnet pytree.
+
+    Naming per timm's NormFreeNet (the reference's "nfresnet50" encoder,
+    image_encoders.py:31-45): ``stem.conv`` + ``stages.{s}.{b}.conv{1,2,3}``
+    ScaledStdConv2d entries ({weight, gain (cout,1,1,1), bias}) and
+    ``downsample.conv``.  timm builds nf_resnet50 without skipinit, so a
+    missing ``skipinit_gain`` imports as 1.0 (our residual
+    ``shortcut + alpha * gain * f(x)`` then matches timm's
+    ``shortcut + alpha * f(x)``); when present it is used as stored.
+    """
+    import jax.numpy as jnp
+
+    def ws(base):
+        return {
+            "kernel": jnp.asarray(_conv(np.asarray(sd[base + ".weight"], np.float32))),
+            "gain": jnp.asarray(
+                np.asarray(sd[base + ".gain"], np.float32).reshape(-1)
+            ),
+            "bias": jnp.asarray(np.asarray(sd[base + ".bias"], np.float32)),
+        }
+
+    params: Dict = {"stem": ws(prefix + "stem.conv")}
+    for stage, n_blocks in enumerate(enc_cfg.blocks, start=1):
+        blocks = []
+        for b in range(n_blocks):
+            base = f"{prefix}stages.{stage - 1}.{b}."
+            gain_key = base + "skipinit_gain"
+            bp = {
+                "conv1": ws(base + "conv1"),
+                "conv2": ws(base + "conv2"),
+                "conv3": ws(base + "conv3"),
+                "skipinit_gain": jnp.asarray(
+                    np.float32(sd[gain_key]) if gain_key in sd else np.float32(1.0)
+                ).reshape(()),
+            }
+            if base + "downsample.conv.weight" in sd:
+                bp["down"] = ws(base + "downsample.conv")
+            blocks.append(bp)
+        params[f"layer{stage}"] = blocks
+    return params
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -290,34 +411,82 @@ def convert_state_dict(
             "bias": jnp.asarray(np.asarray(sd["image_prefix.ln.bias"], np.float32)),
         }
 
-    if prefix_cfg.encoder_name.startswith("clip_resnet") or (
-        prefix_cfg.encoder_name == "clip_rn50"
-    ):
-        module, enc_cfg, _ = prefix_cfg.encoder
-        enc_params, enc_stats = _clip_resnet_from_torch(sd, enc_cfg)
-        ip["enc"] = enc_params
+    ip["enc"], enc_stats = convert_encoder_state_dict(
+        sd, prefix_cfg, prefix="image_prefix.enc."
+    )
+    if enc_stats is not None:
         state = {"image_prefix": {"enc": enc_stats}}
-    else:
-        raise NotImplementedError(
-            f"torch import for encoder {prefix_cfg.encoder_name} not wired; "
-            "convert the LM/prefix and re-init the encoder, or extend this map"
-        )
 
     params["image_prefix"] = ip
     return params, state
 
 
+def convert_encoder_state_dict(
+    sd: Dict, prefix_cfg, prefix: str = ""
+) -> Tuple[Dict, Optional[Dict]]:
+    """Encoder-only torch state dict -> (params, batch_stats_or_None).
+
+    Covers all four reference encoder options (image_encoders.py:31-76):
+    CLIP ResNets (checkpoint naming), CLIP ViT-B/32 ("clip", OpenAI
+    naming — pass ``prefix="visual."`` for a raw CLIP model checkpoint),
+    and timm nf_resnet50.  Stats are only produced by the BN-bearing
+    ResNets; the ViT and NF nets are stateless.
+    """
+    name = prefix_cfg.encoder_name
+    module, enc_cfg, _ = prefix_cfg.encoder
+    if name.startswith("clip_resnet") or name == "clip_rn50":
+        return _clip_resnet_from_torch(sd, enc_cfg, prefix=prefix)
+    if name == "clip":
+        return _clip_vit_from_torch(sd, enc_cfg, prefix), None
+    if name == "nfresnet50":
+        return _nf_resnet_from_torch(sd, enc_cfg, prefix), None
+    raise NotImplementedError(f"torch import for encoder {name} not wired")
+
+
+def load_pretrained_encoder(model, path_or_sd, prefix: str = "auto") -> None:
+    """Populate ``model.params["image_prefix"]["enc"]`` (and BN stats) from
+    a published torch checkpoint of the *encoder tower alone* — e.g. an
+    OpenAI CLIP model file or a timm nf_resnet50 checkpoint.  Mirrors the
+    reference's pretrained tower loading (image_encoders.py:48-76
+    ``clip.load``, :31-45 timm ``pretrained=True``), which magma_tpu cannot
+    do implicitly in an air-gapped environment.
+
+    ``prefix="auto"`` detects the OpenAI CLIP ``visual.`` nesting.
+    """
+    if isinstance(path_or_sd, (str,)) or hasattr(path_or_sd, "__fspath__"):
+        import torch
+
+        sd = torch.load(str(path_or_sd), map_location="cpu", weights_only=False)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+    else:
+        sd = path_or_sd
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    if prefix == "auto":
+        prefix = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    enc_params, enc_stats = convert_encoder_state_dict(
+        sd, model.prefix_config, prefix=prefix
+    )
+    model.params["image_prefix"]["enc"] = enc_params
+    if enc_stats is not None:
+        model.state["image_prefix"]["enc"] = enc_stats
+
+
 def load_torch_checkpoint(path: str, params_template, lm_cfg, prefix_cfg):
     """Load an ``mp_rank_00_model_states.pt`` file (parity:
-    magma.py:288-297 incl. the ``sd["module"]`` unwrap) and convert."""
+    magma.py:288-297 incl. the ``sd["module"]`` unwrap) and convert.
+
+    Returns ``(params, state)``.  ``state`` carries the encoder's BN
+    running statistics (the reference loads them as ordinary state-dict
+    entries, magma.py:292-297); it is None only for stat-free encoders.
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if "module" in sd:
         sd = sd["module"]
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    params, _state = convert_state_dict(sd, lm_cfg, prefix_cfg)
-    return params
+    return convert_state_dict(sd, lm_cfg, prefix_cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +577,11 @@ def to_torch_state_dict(params: Dict, state: Optional[Dict], lm_cfg, prefix_cfg)
         out["image_prefix.ln.weight"] = np.asarray(ip["ln"]["scale"], np.float32)
         out["image_prefix.ln.bias"] = np.asarray(ip["ln"]["bias"], np.float32)
 
-    if "enc" in ip and "stem" in ip["enc"]:
+    if "enc" in ip and prefix_cfg.encoder_name == "clip":
+        _clip_vit_to_torch(out, ip["enc"], "image_prefix.enc.")
+    elif "enc" in ip and prefix_cfg.encoder_name == "nfresnet50":
+        _nf_resnet_to_torch(out, ip["enc"], "image_prefix.enc.")
+    elif "enc" in ip and "stem" in ip["enc"]:
         enc = ip["enc"]
         enc_stats = (state or {}).get("image_prefix", {}).get("enc", {})
 
@@ -461,6 +634,76 @@ def _zero_bn(p_bn) -> Dict:
     return {"mean": np.zeros(c, np.float32), "var": np.ones(c, np.float32)}
 
 
+def _clip_vit_to_torch(out: Dict, enc: Dict, prefix: str) -> None:
+    """clip_vit pytree -> OpenAI CLIP VisionTransformer naming (inverse of
+    _clip_vit_from_torch)."""
+    out[prefix + "conv1.weight"] = np.asarray(
+        enc["patch_embed"], np.float32
+    ).transpose(3, 2, 0, 1)
+    out[prefix + "class_embedding"] = np.asarray(enc["class_token"], np.float32)
+    out[prefix + "positional_embedding"] = np.asarray(enc["pos_embed"], np.float32)
+    for ln in ("ln_pre", "ln_post"):
+        out[prefix + ln + ".weight"] = np.asarray(enc[ln]["scale"], np.float32)
+        out[prefix + ln + ".bias"] = np.asarray(enc[ln]["bias"], np.float32)
+    out[prefix + "proj"] = np.asarray(enc["proj"], np.float32)
+
+    b = enc["blocks"]
+    L = np.asarray(b["ln_1"]["scale"]).shape[0]
+    for i in range(L):
+        p = f"{prefix}transformer.resblocks.{i}."
+        for ln in ("ln_1", "ln_2"):
+            out[p + ln + ".weight"] = np.asarray(b[ln]["scale"][i], np.float32)
+            out[p + ln + ".bias"] = np.asarray(b[ln]["bias"][i], np.float32)
+        out[p + "attn.in_proj_weight"] = _t(
+            np.asarray(b["attn"]["qkv"]["kernel"][i], np.float32)
+        )
+        out[p + "attn.in_proj_bias"] = np.asarray(
+            b["attn"]["qkv"]["bias"][i], np.float32
+        )
+        out[p + "attn.out_proj.weight"] = _t(
+            np.asarray(b["attn"]["out"]["kernel"][i], np.float32)
+        )
+        out[p + "attn.out_proj.bias"] = np.asarray(
+            b["attn"]["out"]["bias"][i], np.float32
+        )
+        out[p + "mlp.c_fc.weight"] = _t(
+            np.asarray(b["mlp"]["fc"]["kernel"][i], np.float32)
+        )
+        out[p + "mlp.c_fc.bias"] = np.asarray(b["mlp"]["fc"]["bias"][i], np.float32)
+        out[p + "mlp.c_proj.weight"] = _t(
+            np.asarray(b["mlp"]["proj"]["kernel"][i], np.float32)
+        )
+        out[p + "mlp.c_proj.bias"] = np.asarray(
+            b["mlp"]["proj"]["bias"][i], np.float32
+        )
+
+
+def _nf_resnet_to_torch(out: Dict, enc: Dict, prefix: str) -> None:
+    """nfnet pytree -> timm NormFreeNet naming (inverse of
+    _nf_resnet_from_torch)."""
+
+    def put_ws(base, p):
+        out[base + ".weight"] = np.asarray(p["kernel"], np.float32).transpose(
+            3, 2, 0, 1
+        )
+        out[base + ".gain"] = np.asarray(p["gain"], np.float32).reshape(-1, 1, 1, 1)
+        out[base + ".bias"] = np.asarray(p["bias"], np.float32)
+
+    put_ws(prefix + "stem.conv", enc["stem"])
+    stage = 1
+    while f"layer{stage}" in enc:
+        for bi, bp in enumerate(enc[f"layer{stage}"]):
+            base = f"{prefix}stages.{stage - 1}.{bi}."
+            for c in (1, 2, 3):
+                put_ws(base + f"conv{c}", bp[f"conv{c}"])
+            out[base + "skipinit_gain"] = np.asarray(
+                bp["skipinit_gain"], np.float32
+            ).reshape(())
+            if "down" in bp:
+                put_ws(base + "downsample.conv", bp["down"])
+        stage += 1
+
+
 def main():  # pragma: no cover
     """CLI: python -m magma_tpu.training.torch_convert ckpt.pt out_dir
     [--config configs/MAGMA_v1.yml]"""
@@ -477,10 +720,10 @@ def main():  # pragma: no cover
     args = ap.parse_args()
 
     model = Magma(MultimodalConfig.from_yml(args.config), init_weights=True)
-    params = load_torch_checkpoint(
+    params, state = load_torch_checkpoint(
         args.ckpt, model.params, model.lm_config, model.prefix_config
     )
-    ckpt.save_checkpoint(args.out_dir, 0, params, model.state)
+    ckpt.save_checkpoint(args.out_dir, 0, params, state or model.state)
     print(f"converted {args.ckpt} -> {args.out_dir}")
 
 

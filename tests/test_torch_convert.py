@@ -71,6 +71,112 @@ def test_roundtrip_export_import(attn_adapter):
     _assert_trees_equal(state, model.state)
 
 
+def _tiny_cfg_for_encoder(encoder_name, encoder_overrides):
+    return MultimodalConfig(
+        batch_size=1, train_steps=1,
+        encoder_name=encoder_name,
+        adapter_config={"mlp": {"adapter_type": "normal", "downsample_factor": 4}},
+        image_seq_len=2,
+        lm_overrides=dict(n_layers=2, n_heads=4, d_model=128, d_ff=512,
+                          rotary_dim=16, max_seq_len=64,
+                          attention_impl="xla", remat=False),
+        encoder_overrides=encoder_overrides,
+        image_size=64,
+    )
+
+
+_VIT_OVERRIDES = dict(input_resolution=64, patch_size=32, width=32, layers=2,
+                      heads=2, embed_dim=16)
+_NF_OVERRIDES = dict(blocks=(1, 1, 1, 1), width=8, input_resolution=32)
+
+
+def test_roundtrip_clip_vit():
+    """ViT-B/32 ("clip") weights round-trip through the OpenAI CLIP naming
+    (reference image_encoders.py:62 clip.load("ViT-B/32").visual)."""
+    model = Magma(_tiny_cfg_for_encoder("clip", _VIT_OVERRIDES), rng=3)
+    sd = to_torch_state_dict(
+        model.params, model.state, model.lm_config, model.prefix_config
+    )
+    assert "image_prefix.enc.conv1.weight" in sd
+    assert "image_prefix.enc.class_embedding" in sd
+    assert "image_prefix.enc.transformer.resblocks.0.attn.in_proj_weight" in sd
+    assert "image_prefix.enc.proj" in sd
+
+    params, state = convert_state_dict(sd, model.lm_config, model.prefix_config)
+    _assert_trees_equal(params, model.params)
+    assert state is None  # ViT carries no batch stats
+
+
+def test_roundtrip_nf_resnet():
+    """NF-ResNet50 weights round-trip through the timm NormFreeNet naming
+    (reference image_encoders.py:31-45 timm nf_resnet50)."""
+    model = Magma(_tiny_cfg_for_encoder("nfresnet50", _NF_OVERRIDES), rng=3)
+    sd = to_torch_state_dict(
+        model.params, model.state, model.lm_config, model.prefix_config
+    )
+    assert "image_prefix.enc.stem.conv.weight" in sd
+    assert sd["image_prefix.enc.stem.conv.gain"].shape == (8, 1, 1, 1)
+    assert "image_prefix.enc.stages.0.0.conv1.weight" in sd
+    assert "image_prefix.enc.stages.1.0.downsample.conv.weight" in sd
+
+    params, state = convert_state_dict(sd, model.lm_config, model.prefix_config)
+    _assert_trees_equal(params, model.params)
+    assert state is None
+
+
+def test_load_pretrained_encoder_clip_visual_prefix():
+    """A raw OpenAI CLIP checkpoint nests the tower under `visual.`;
+    load_pretrained_encoder auto-detects it and the loaded tower changes
+    the image-prefix output."""
+    import jax.numpy as jnp
+
+    from magma_tpu.models import image_prefix as ip_mod
+    from magma_tpu.training.torch_convert import load_pretrained_encoder
+
+    model = Magma(_tiny_cfg_for_encoder("clip", _VIT_OVERRIDES), rng=3)
+    donor = Magma(_tiny_cfg_for_encoder("clip", _VIT_OVERRIDES), rng=9)
+    sd = to_torch_state_dict(
+        donor.params, donor.state, donor.lm_config, donor.prefix_config
+    )
+    enc_sd = {
+        "visual." + k[len("image_prefix.enc."):]: v
+        for k, v in sd.items() if k.startswith("image_prefix.enc.")
+    }
+    load_pretrained_encoder(model, enc_sd)
+    _assert_trees_equal(
+        model.params["image_prefix"]["enc"], donor.params["image_prefix"]["enc"]
+    )
+    images = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 64), np.float32)
+    )
+    out, _ = ip_mod.apply(
+        model.params["image_prefix"], model.state["image_prefix"], images,
+        model.prefix_config, train=False,
+    )
+    assert jnp.isfinite(out).all()
+
+
+def test_nf_resnet_import_without_skipinit_gain():
+    """timm builds nf_resnet50 without skipinit; a missing skipinit_gain
+    must import as 1.0 so residual branches are not silently zeroed."""
+    from magma_tpu.training.torch_convert import load_pretrained_encoder
+
+    model = Magma(_tiny_cfg_for_encoder("nfresnet50", _NF_OVERRIDES), rng=3)
+    sd = to_torch_state_dict(
+        model.params, model.state, model.lm_config, model.prefix_config
+    )
+    enc_sd = {
+        k[len("image_prefix.enc."):]: v
+        for k, v in sd.items()
+        if k.startswith("image_prefix.enc.") and not k.endswith("skipinit_gain")
+    }
+    load_pretrained_encoder(model, enc_sd)
+    gain = np.asarray(
+        model.params["image_prefix"]["enc"]["layer1"][0]["skipinit_gain"]
+    )
+    assert gain == 1.0
+
+
 def test_vocab_padding_on_import():
     model = Magma(_tiny_cfg())
     sd = to_torch_state_dict(
@@ -91,6 +197,16 @@ def test_from_checkpoint_torch_file(tmp_path):
 
     cfg = _tiny_cfg()
     src = Magma(cfg, rng=7)
+    # give the source nontrivial BN running stats so the restore assert
+    # below cannot pass by matching a fresh mean=0/var=1 init
+    key = jax.random.PRNGKey(11)
+
+    def _perturb(leaf):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return leaf + jax.random.uniform(sub, leaf.shape, leaf.dtype, 0.1, 0.9)
+
+    src.state = jax.tree_util.tree_map(_perturb, src.state)
     sd = to_torch_state_dict(src.params, src.state, src.lm_config,
                              src.prefix_config)
     torch_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
@@ -124,3 +240,28 @@ def test_from_checkpoint_torch_file(tmp_path):
         np.asarray(src.params["lm"]["blocks"]["adapter_mlp"]["down"]["kernel"],
                    np.float32), atol=1e-6,
     )
+    # the converted BN running stats must survive the round trip
+    # (reference magma.py:292-297 loads them as plain state-dict entries)
+    _assert_trees_equal(loaded.state, src.state, atol=1e-6)
+    bn1 = np.asarray(loaded.state["image_prefix"]["enc"]["stem"]["bn1"]["mean"])
+    assert not np.allclose(bn1, 0.0), "restored BN mean is still the fresh init"
+
+    # and an eval-mode forward must actually consume them: fresh stats
+    # would silently produce different vision features
+    from magma_tpu.models import image_prefix as ip_mod
+
+    images = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (1, 3, 64, 64), np.float32)
+    )
+    emb_restored, _ = ip_mod.apply(
+        loaded.params["image_prefix"], loaded.state["image_prefix"],
+        images, loaded.prefix_config, train=False,
+    )
+    fresh = Magma(cfg, rng=7)
+    emb_fresh, _ = ip_mod.apply(
+        loaded.params["image_prefix"], fresh.state["image_prefix"],
+        images, loaded.prefix_config, train=False,
+    )
+    assert not np.allclose(
+        np.asarray(emb_restored), np.asarray(emb_fresh), atol=1e-3
+    ), "eval forward ignores BN running stats"
