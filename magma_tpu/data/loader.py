@@ -78,10 +78,15 @@ class BatchLoader:
                 if not self.flat:
                     images = images.reshape(self.ga, self.micro, *images.shape[1:])
                     captions = captions.reshape(self.ga, self.micro, -1)
-                try:
-                    self._q.put((images, captions), timeout=60)
-                except queue.Full:
-                    continue
+                # retry the put until the consumer drains or we are
+                # stopped — a timeout must never discard the built batch
+                # (silent data skip under a slow consumer)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((images, captions), timeout=1)
+                        break
+                    except queue.Full:
+                        continue
 
     def __iter__(self):
         return self

@@ -121,7 +121,7 @@ class MagmaClassifier(Magma):
         if self.interface_type == "last_token":
             # last non-padding caption position: captions are right-padded
             # with EOS; use the first EOS (or the final position)
-            is_eos = captions[:, : self.seq_len - s_img] == 50256
+            is_eos = captions[:, : self.seq_len - s_img] == self.eos_token
             first_eos = jnp.argmax(is_eos, axis=1)
             has_eos = jnp.any(is_eos, axis=1)
             last = jnp.where(has_eos, s_img + first_eos, s - 1)

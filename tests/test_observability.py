@@ -55,3 +55,27 @@ def test_quantize_for_serving_facade():
     # int8 weight-only is ~lossless: greedy tokens unchanged on a tiny model
     np.testing.assert_array_equal(np.asarray(greedy_before),
                                   np.asarray(greedy_after))
+
+
+def test_metric_logger_image_grid(tmp_path):
+    """MetricLogger.log_image writes a PNG grid + JSONL record (parity:
+    reference train.py:176-180 wandb.Image of eval captions)."""
+    import json
+
+    from magma_tpu.config import MultimodalConfig
+    from magma_tpu.observability import make_grid
+    from train import MetricLogger
+
+    cfg = MultimodalConfig(batch_size=1, train_steps=1,
+                           save=str(tmp_path), wandb_project=None)
+    logger = MetricLogger(cfg)
+    images = np.random.RandomState(0).rand(4, 3, 8, 8).astype(np.float32)
+    grid = make_grid(images)
+    assert grid.shape[0] == 3
+    logger.log_image("inference/images", grid, step=5, caption="cap text")
+
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) == 1 and "step5" in pngs[0].name
+    records = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    rec = [r for r in records if "inference/images" in r]
+    assert rec and rec[0]["inference/images/caption"] == "cap text"

@@ -141,3 +141,30 @@ def test_batch_loader(tmp_path):
     assert images.shape == (2, 4, 3, 8, 8)
     assert captions.shape == (2, 4, 32)
     loader.close()
+
+
+def test_batch_loader_slow_consumer_drops_nothing():
+    """A full prefetch queue must block the producer, not discard built
+    batches: with shuffle off, consumed batches stay in dataset order."""
+    import time
+
+    from magma_tpu.data.loader import BatchLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            img = np.full((1, 3, 4, 4), i, np.float32)
+            cap = np.full((1, 8), i, np.int32)
+            return img, cap
+
+    loader = BatchLoader(FakeDS(), batch_size=4, gradient_accumulation_steps=1,
+                         seq_len=8, num_workers=2, shuffle=False, prefetch=1)
+    time.sleep(2.0)  # let the producer build ahead and hit queue.Full
+    seen = []
+    for _ in range(4):
+        _, captions = next(loader)
+        seen.extend(captions[0, :, 0].tolist())
+    loader.close()
+    assert seen == list(range(16)), f"batches dropped or reordered: {seen}"

@@ -104,6 +104,32 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, key: str, image, step: int, caption: str = "") -> None:
+        """Log a (3, H, W) float image: wandb.Image when live (parity:
+        reference train.py:176-180), and always a PNG next to the JSONL."""
+        if not self._is_main:
+            return
+        import numpy as np
+
+        arr = np.asarray(image)
+        arr = np.clip(arr, 0.0, 1.0) if arr.dtype.kind == "f" else arr
+        if self._wandb is not None:
+            self._wandb.log(
+                {key: self._wandb.Image(arr, caption=caption or None)}, step=step
+            )
+        try:
+            from PIL import Image
+
+            png = np.transpose((arr * 255).astype("uint8"), (1, 2, 0))
+            path = os.path.join(
+                os.path.dirname(self._file.name),
+                f"{key.replace('/', '_')}_step{step}.png",
+            )
+            Image.fromarray(png).save(path)
+            self.log({key: path, f"{key}/caption": caption}, step)
+        except Exception:
+            pass  # image logging must never kill a run
+
 
 def main():
     args = parse_args()
@@ -173,10 +199,18 @@ def main():
             logger.log({"eval/loss": eval_loss}, global_step)
             print_main(f"step {global_step} eval loss {eval_loss:.4f}")
             try:
-                _, caption_text = trainer.inference_step(
+                from magma_tpu.observability import make_grid
+
+                eval_images, caption_text = trainer.inference_step(
                     eval_loader, max_steps=30, temperature=0.7, top_p=0.9
                 )
                 logger.log({"inference/captions": caption_text}, global_step)
+                # image grid of the captioned eval images (parity:
+                # reference train.py:176-180 wandb.Image)
+                logger.log_image(
+                    "inference/images", make_grid(eval_images),
+                    global_step, caption=caption_text,
+                )
                 print_main(caption_text)
             except Exception as e:  # caption sampling must never kill a run
                 print_main(f"inference step failed: {e}")
