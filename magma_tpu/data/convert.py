@@ -1,33 +1,58 @@
 """Dataset converter: user iterator -> MAGMA standard on-disk layout.
 
-Parity target: magma/datasets/convert_datasets.py:33-118.  The iterator
-yields ``(img_path, {"captions": [...], "metadata": {...}})``; images are
-moved/copied into ``images/{n}/`` and one json per sample is written to
-``image_data/{n}/{idx}.json`` with at most ``dir_size`` files per
-subdirectory.  Optional ``hash_fn`` (e.g. a perceptual hash) records a
-dedup hash in metadata; images already relocated are referenced, not
-copied twice.
+Behavioral parity with the reference converter
+(magma/datasets/convert_datasets.py:33-118), independently structured as a
+single streaming pass over two shard allocators:
+
+* the iterator yields ``(img_path, {"captions": [...], "metadata": {...}})``,
+* each *unique* source image is moved/copied into ``images/{shard}/``,
+* each sample gets one json at ``image_data/{shard}/{sample_idx}.json``
+  whose ``image_path`` points at the relocated image,
+* both trees cap ``dir_size`` entries per shard subdirectory (image shards
+  count unique images; data shards count samples, so the two shard counters
+  advance independently when duplicates occur),
+* an optional ``hash_fn`` (e.g. a perceptual hash) records a dedup hash in
+  each sample's metadata; a repeated source path reuses the stored image
+  and its hash instead of copying twice.
+
+Unlike the reference (which buffers dir_size items and flushes per
+subdirectory), this writes each sample as it arrives — constant memory on
+arbitrarily large datasets.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import shutil
 from pathlib import Path
 from typing import Callable, Iterable, Optional
 
 
-def save_to_jsons(data_list, target_dir, starting_idx: int = 0) -> None:
-    for k, data in enumerate(data_list):
-        with open(Path(target_dir) / f"{k + starting_idx}.json", "w") as f:
-            json.dump(data, f)
+class _ShardAllocator:
+    """Hands out ``{root}/{shard}/`` directories, at most ``per_shard``
+    allocations per shard, creating directories on first use."""
+
+    def __init__(self, root: Path, per_shard: int):
+        self._root = Path(root)
+        self._per_shard = per_shard
+        self._allocated = 0
+
+    def allocate(self) -> Path:
+        shard_dir = self._root / str(self._allocated // self._per_shard)
+        shard_dir.mkdir(parents=True, exist_ok=True)
+        self._allocated += 1
+        return shard_dir
 
 
-def save_images(img_list, target_dir, mode: str = "mv") -> None:
-    op = shutil.move if mode == "mv" else shutil.copy
-    for img_path in img_list:
-        op(str(img_path), str(target_dir))
+def _hash_image(img_path, hash_fn: Callable) -> Optional[str]:
+    try:
+        from PIL import Image
+
+        with Image.open(img_path) as img:
+            return str(hash_fn(img.convert("RGB")))
+    except Exception:
+        print("Warning: corrupted or non-existent Image")
+        return None
 
 
 def convert_dataset(
@@ -37,58 +62,40 @@ def convert_dataset(
     mode: str = "mv",
     ds_iterator: Optional[Iterable] = None,
 ) -> None:
-    """Build a dataset directory in the standard format (see module doc)."""
-    data_dir = Path(data_dir)
-    os.makedirs(data_dir / "images", exist_ok=True)
-    os.makedirs(data_dir / "image_data", exist_ok=True)
+    """Build a dataset directory in the standard format (see module doc).
 
-    items = list(ds_iterator)
-    img_data_list = []
-    img_path_list = []
-    new_img_locations = {}
-    num_img_dirs = 0
-    save_img_dir = data_dir / "images" / "0"
-    save_data_dir = data_dir / "image_data" / "0"
+    ``mode="mv"`` moves source images (the reference's default, for
+    converting in place); ``mode="cp"`` copies and leaves sources intact.
+    """
+    root = Path(data_dir)
+    image_shards = _ShardAllocator(root / "images", dir_size)
+    record_shards = _ShardAllocator(root / "image_data", dir_size)
+    relocate = shutil.move if mode == "mv" else shutil.copy
 
-    for k, (img_path, data) in enumerate(items):
-        img_cpt_data = dict(data)
+    # source path -> {"image_path": relative stored path, "hash": optional}
+    seen: dict = {}
 
-        if str(img_path) in new_img_locations:
-            entry = new_img_locations[str(img_path)]
-            img_cpt_data["image_path"] = entry["new_img_path"]
-            if hash_fn is not None and "hash" in entry:
-                img_cpt_data.setdefault("metadata", {})["image_hash"] = entry["hash"]
-        else:
-            new_img_path = f"images/{save_img_dir.name}/{Path(img_path).name}"
-            img_cpt_data["image_path"] = new_img_path
-            new_img_locations[str(img_path)] = {"new_img_path": new_img_path}
-            img_path_list.append(img_path)
-
+    for sample_idx, (img_path, sample) in enumerate(ds_iterator or ()):
+        entry = seen.get(str(img_path))
+        if entry is None:
+            entry = {}
             if hash_fn is not None:
-                try:
-                    from PIL import Image
+                h = _hash_image(img_path, hash_fn)
+                if h is not None:
+                    entry["hash"] = h
+            shard_dir = image_shards.allocate()
+            try:
+                relocate(str(img_path), str(shard_dir))
+            except OSError as e:
+                print(f"Warning: could not store image {img_path}: {e}")
+            entry["image_path"] = f"images/{shard_dir.name}/{Path(img_path).name}"
+            seen[str(img_path)] = entry
 
-                    img = Image.open(img_path).convert("RGB")
-                    hash_str = str(hash_fn(img))
-                    img_cpt_data.setdefault("metadata", {})["image_hash"] = hash_str
-                    new_img_locations[str(img_path)]["hash"] = hash_str
-                except Exception:
-                    print("Warning: corrupted or non-existent Image")
+        record = dict(sample)
+        record["image_path"] = entry["image_path"]
+        if "hash" in entry:
+            record.setdefault("metadata", {})["image_hash"] = entry["hash"]
 
-        img_data_list.append(img_cpt_data)
-
-        last = k == len(items) - 1
-        if (len(img_path_list) % dir_size == 0 and len(img_path_list) > 0) or last:
-            os.makedirs(save_img_dir, exist_ok=True)
-            save_images(img_path_list, save_img_dir, mode=mode)
-            img_path_list = []
-            num_img_dirs += 1
-            save_img_dir = data_dir / "images" / f"{num_img_dirs}"
-
-        if ((k + 1) % dir_size == 0) or last:
-            os.makedirs(save_data_dir, exist_ok=True)
-            save_to_jsons(
-                img_data_list, save_data_dir, starting_idx=max(k + 1 - dir_size, 0)
-            )
-            img_data_list = []
-            save_data_dir = data_dir / "image_data" / f"{(k + 1) // dir_size}"
+        record_dir = record_shards.allocate()
+        with open(record_dir / f"{sample_idx}.json", "w") as f:
+            json.dump(record, f)

@@ -1,66 +1,69 @@
 """Image-caption dataset over the MAGMA on-disk format.
 
-Parity target: magma/datasets/dataset.py:92-160.  Format:
+Behavioral parity with the reference dataset (magma/datasets/dataset.py:
+92-160) over the layout:
 
     {data_dir}/images/{n}/xxx.jpg
     {data_dir}/image_data/{n}/{idx}.json   — {"image_path": ...,
                                               "captions": [...],
                                               "metadata": {...}}
 
-Behavioral parity:
-* lazy per-item json loading with unreadable-json -> random retry
-  (dataset.py:78-89),
-* missing "image_path" key -> sibling .jpg inferred from the json path
-  (dataset.py:119-132),
-* random caption choice per access (dataset.py:135),
-* captions tokenized padded to seq_len with EOS (dataset.py:136-142),
-* corrupt/unreadable image -> random other index (dataset.py:144-152).
+Pinned behaviors (tests/test_dataset.py):
+* lazy per-item json loading; an unreadable json falls back to a random
+  other index (dataset.py:78-89),
+* a record without "image_path" resolves to the sibling image named after
+  the json file's stem (dataset.py:119-132),
+* one caption is drawn at random per access (dataset.py:135),
+* captions tokenize padded to seq_len with EOS (dataset.py:136-142),
+* a corrupt/unreadable image falls back to a random other index
+  (dataset.py:144-152).
 
 TPU-native: emits numpy arrays (no torch tensors); batching via
 ``collate_fn`` + the prefetching loader in data/loader.py feeding the
-jit-sharded train step.
+jit-sharded train step.  Fallbacks are bounded retry loops rather than
+recursion, so a pathological directory cannot blow the stack.
 """
 
 from __future__ import annotations
 
 import json
 import random
-import traceback
 from pathlib import Path
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+_MAX_RETRIES = 32
 
-def load_json(filename):
+
+def load_json(filename) -> Optional[dict]:
+    """Read one record json; None (with a log line) if undecodable."""
     try:
-        with open(filename) as f:
-            return json.load(f)
-    except Exception:
-        print(f"ERROR: Error loading json file {filename}")
-        traceback.print_exc()
+        return json.loads(Path(filename).read_text())
+    except Exception as e:
+        print(f"skipping unreadable record {filename}: {e!r}")
         return None
 
 
-def _load_paths(data_dir: Path) -> List[Path]:
-    img_data_dir = Path(data_dir) / "image_data"
-    return sorted(img_data_dir.glob("*/*.json"))
-
-
 class LazyLoader:
-    """Lazy json-per-item access with corrupt-file fallback."""
+    """Per-item json access over the image_data tree.  A bad file yields a
+    random healthy record instead of raising."""
 
     def __init__(self, data_dir):
-        self.paths = _load_paths(Path(data_dir))
+        self.paths: List[Path] = sorted(
+            (Path(data_dir) / "image_data").glob("*/*.json")
+        )
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.paths)
 
-    def __getitem__(self, idx):
-        data = load_json(self.paths[idx])
-        if data is None:
-            return self[random.randint(0, len(self) - 1)]
-        return data
+    def __getitem__(self, idx) -> dict:
+        for _ in range(_MAX_RETRIES):
+            record = load_json(self.paths[idx])
+            if record is not None:
+                return record
+            idx = random.randrange(len(self))
+        raise RuntimeError(f"no readable record after {_MAX_RETRIES} draws")
 
 
 class ImgCptDataset:
@@ -81,39 +84,45 @@ class ImgCptDataset:
         self.load_data_in_memory = load_data_in_memory
         self._lazy = LazyLoader(self.data_dir)
         if load_data_in_memory:
-            self.data = [load_json(p) for p in self._lazy.paths]
-            self.data = [d for d in self.data if d is not None]
+            records = (load_json(p) for p in self._lazy.paths)
+            self.data: Sequence = [r for r in records if r is not None]
         else:
             self.data = self._lazy
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.data)
 
-    def __getitem__(self, idx) -> Tuple[np.ndarray, np.ndarray]:
-        from PIL import Image, UnidentifiedImageError
+    def _image_file(self, record: dict, idx: int) -> Path:
+        """Stored path from the record, else the sibling jpg sharing the
+        json's stem (reference dataset.py:119-132)."""
+        rel = record.get("image_path")
+        if rel is not None:
+            return self.data_dir / rel
+        json_path = self._lazy.paths[idx]
+        shard = json_path.parent.name
+        return self.data_dir / "images" / shard / (json_path.stem + ".jpg")
 
-        img_data = self.data[idx]
-        img_path = None
-        try:
-            if "image_path" in img_data:
-                img_path = self.data_dir / img_data["image_path"]
-            else:
-                # infer sibling .jpg from the json path
-                p = self._lazy.paths[idx]
-                img_path = (
-                    self.data_dir / "images" / p.parent.name
-                ) / p.with_suffix(".jpg").name
-            img = Image.open(img_path)
-            img_arr = self.transforms(img)
-            caption = random.choice(img_data["captions"])
-            caption_arr = self.tokenizer.encode(
-                caption, max_length=self.seq_len, padding="max_length",
-                truncation=True,
-            )
-            return np.asarray(img_arr, np.float32), caption_arr
-        except (UnidentifiedImageError, OSError, IndexError, KeyError):
-            print(f"Warning: Could not load image {img_path}")
-            return self[random.randint(0, len(self) - 1)]
+    def _load_one(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        record = self.data[idx]
+        with Image.open(self._image_file(record, idx)) as img:
+            pixels = self.transforms(img)
+        caption = random.choice(record["captions"])
+        tokens = self.tokenizer.encode(
+            caption, max_length=self.seq_len, padding="max_length",
+            truncation=True,
+        )
+        return np.asarray(pixels, np.float32), tokens
+
+    def __getitem__(self, idx) -> Tuple[np.ndarray, np.ndarray]:
+        for _ in range(_MAX_RETRIES):
+            try:
+                return self._load_one(idx)
+            except Exception as e:
+                print(f"sample {idx} unreadable ({e!r}); drawing another")
+                idx = random.randrange(len(self))
+        raise RuntimeError(f"no loadable sample after {_MAX_RETRIES} draws")
 
 
 def collate_fn(

@@ -52,9 +52,9 @@ def get_pretraining_datasets(config, tokenizer, transforms, seq_len):
     if config.eval_dataset_dir is None:
         eval_len = int(len(train_dataset) * config.eval_dataset_pct)
         train_len = len(train_dataset) - eval_len
-        print(
-            f"Randomly splitting train_dataset into two datasets of length "
-            f"{train_len} and {eval_len}"
+        print_main(
+            f"no eval_dataset_dir: holding out {eval_len} of "
+            f"{len(train_dataset)} training samples for eval"
         )
         train_dataset, eval_dataset = random_split(
             train_dataset, [train_len, eval_len], seed=config.seed
