@@ -345,11 +345,12 @@ class Magma:
         """Load from an Orbax checkpoint directory or a torch
         ``mp_rank_00_model_states.pt`` file (converted on the fly).
         Parity: magma/magma.py:278-301."""
-        from magma_tpu.training import checkpoint as ckpt
-
         model = cls(config_path, init_weights=True)
         path = Path(checkpoint_path)
         if path.is_dir():
+            # orbax import deferred: torch-file loads don't need it
+            from magma_tpu.training import checkpoint as ckpt
+
             model.params, model.state = ckpt.restore_params(
                 str(path), model.params, model.state
             )

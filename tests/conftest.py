@@ -14,12 +14,23 @@ os.environ["XLA_FLAGS"] = (
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+# hide XLA:CPU AOT cache-load machine-feature warnings (benign: the cache
+# stores AOT results keyed on the exact host; mismatches just re-compile)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 # the env var alone is not honored when a TPU plugin (axon) is attached;
 # the config update is authoritative
 jax.config.update("jax_platforms", "cpu")
+
+# XLA:CPU compiles are expensive on this single-core sandbox (~20 s for a
+# tiny tower init); a persistent on-disk cache makes every re-run — and
+# every repeated identical program within one run — near-instant
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

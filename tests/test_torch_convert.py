@@ -37,10 +37,12 @@ def _assert_trees_equal(a, b, atol=0):
     lb = {jax.tree_util.keystr(p): x for p, x in jax.tree_util.tree_leaves_with_path(b)}
     for path, leaf in la:
         key = jax.tree_util.keystr(path)
-        np.testing.assert_allclose(
-            np.asarray(leaf, np.float32), np.asarray(lb[key], np.float32),
-            atol=atol, err_msg=key,
-        )
+        x = np.asarray(leaf, np.float32)
+        y = np.asarray(lb[key], np.float32)
+        if atol == 0:
+            np.testing.assert_array_equal(x, y, err_msg=key)
+        else:
+            np.testing.assert_allclose(x, y, atol=atol, err_msg=key)
 
 
 @pytest.mark.parametrize("attn_adapter", [
@@ -197,14 +199,13 @@ def test_from_checkpoint_torch_file(tmp_path):
 
     cfg = _tiny_cfg()
     src = Magma(cfg, rng=7)
+    fresh_state = src.state
     # give the source nontrivial BN running stats so the restore assert
     # below cannot pass by matching a fresh mean=0/var=1 init
-    key = jax.random.PRNGKey(11)
+    prng = np.random.RandomState(11)
 
     def _perturb(leaf):
-        nonlocal key
-        key, sub = jax.random.split(key)
-        return leaf + jax.random.uniform(sub, leaf.shape, leaf.dtype, 0.1, 0.9)
+        return leaf + prng.uniform(0.1, 0.9, np.shape(leaf)).astype(np.float32)
 
     src.state = jax.tree_util.tree_map(_perturb, src.state)
     sd = to_torch_state_dict(src.params, src.state, src.lm_config,
@@ -253,14 +254,13 @@ def test_from_checkpoint_torch_file(tmp_path):
     images = np.asarray(
         jax.random.normal(jax.random.PRNGKey(3), (1, 3, 64, 64), np.float32)
     )
-    emb_restored, _ = ip_mod.apply(
-        loaded.params["image_prefix"], loaded.state["image_prefix"],
-        images, loaded.prefix_config, train=False,
+    pcfg = loaded.prefix_config
+    fwd = jax.jit(lambda p, s, x: ip_mod.apply(p, s, x, pcfg, train=False))
+    emb_restored, _ = fwd(
+        loaded.params["image_prefix"], loaded.state["image_prefix"], images
     )
-    fresh = Magma(cfg, rng=7)
-    emb_fresh, _ = ip_mod.apply(
-        loaded.params["image_prefix"], fresh.state["image_prefix"],
-        images, loaded.prefix_config, train=False,
+    emb_fresh, _ = fwd(
+        loaded.params["image_prefix"], fresh_state["image_prefix"], images
     )
     assert not np.allclose(
         np.asarray(emb_restored), np.asarray(emb_fresh), atol=1e-3
