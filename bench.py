@@ -143,13 +143,13 @@ def main():
         log(f"[{label}] p50 {t:.3f}s -> {tps:.1f} tok/s")
         return tps, t
 
-    # (a) bf16 single-stream
+    # (a) bf16 single-stream + (b) batched decode (interleaved prompts,
+    # BASELINE config 3).  Weights are packed for the Pallas stacked-matmul
+    # path: under the XLA scan, b=8 needed 4.5 GB of hoisted weight-relayout
+    # temps and OOM'd; packed, it runs (and is faster at b=1 too).
+    lm_params = gptj.pack_lm_params_bf16(lm_params)
     tps_bf16, t_bf16 = bench_generate(lm_params, prompt, "bf16 b=1")
-
-    # (b) bf16 batched decode (interleaved prompts, BASELINE config 3).
-    # batch 4: the b=8 bf16 program needs args 11.8G + 4.5G of XLA weight
-    # relayout temps, over a 16 GB chip's budget; int8 runs b=8 fine.
-    batch = 4
+    batch = 8
     prompt_b = jnp.broadcast_to(prompt, (batch, *prompt.shape[1:]))
     tps_bf16_b8, _ = bench_generate(lm_params, prompt_b, f"bf16 b={batch}")
 

@@ -198,6 +198,17 @@ def quantize_lm_params(params: Dict) -> Dict:
     def q_stacked(w):  # (L, K, N) -> per-layer quantization, bounded peak
         return jax.lax.map(quantize_int8, w)
 
+    def unwrap(w):  # tolerate pack_lm_params_bf16'd params
+        return w["q"] if isinstance(w, dict) else w
+
+    params.pop("lm_head_q", None)  # drop a packed bf16 head if present
+    attn = params["blocks"]["attn"]
+    for k in ("q", "k", "v", "o"):
+        attn[k] = unwrap(attn[k])
+    mlp_p = params["blocks"]["mlp"]
+    for k in ("fc_in", "fc_out"):
+        mlp_p[k]["kernel"] = unwrap(mlp_p[k]["kernel"])
+
     attn = params["blocks"]["attn"]
     # fuse q/k/v into one (L, D, 3D) matrix: one kernel launch and one
     # larger HBM stream per layer instead of three
@@ -214,6 +225,38 @@ def quantize_lm_params(params: Dict) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
+    return params
+
+
+def pack_lm_params_bf16(params: Dict) -> Dict:
+    """Serving-mode packing WITHOUT quantization: wrap the big bf16
+    matrices as unit-scale stacked-matmul operands (``{"q": w, "s": 1}``)
+    so decode streams them through the Pallas stacked kernel in stored
+    layout, outside the layer scan.
+
+    Why: under the XLA scan path, batched (b>=8) bf16 decode OOMs on
+    ~4.5 GB of hoisted weight-relayout temps — XLA copies the stacked
+    weights into its preferred matmul layout for the whole program.  The
+    Pallas kernel DMAs tiles straight from the stored layout, so the only
+    extra memory is the materialized transposed head (~0.4 GB).
+
+    Mutates (and returns) ``params``.  The kernel's int8->bf16 convert is
+    a no-op on bf16 input, so the whole int8 serving path is reused.
+    """
+    def wrap(w):
+        s = jnp.ones(w.shape[:-2] + w.shape[-1:], jnp.float32)
+        return {"q": w, "s": s}
+
+    attn = params["blocks"]["attn"]
+    for k in ("q", "k", "v", "o"):
+        attn[k] = wrap(attn[k])
+    mlp = params["blocks"]["mlp"]
+    for k in ("fc_in", "fc_out"):
+        mlp[k]["kernel"] = wrap(mlp[k]["kernel"])
+    # untied head in (D, V) layout; embedding lookups keep the (V, D) wte
+    params["lm_head_q"] = wrap(
+        jnp.swapaxes(params["wte"], 0, 1).astype(jnp.bfloat16)
+    )
     return params
 
 

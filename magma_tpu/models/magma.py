@@ -332,6 +332,19 @@ class Magma:
         self.params["lm"] = quantize_lm_params(self.params["lm"])
         return self
 
+    def pack_for_serving(self) -> "Magma":
+        """Pack the bf16 LM for full-precision serving: the big matrices
+        stream through the Pallas stacked-matmul kernel in stored layout
+        (see gptj.pack_lm_params_bf16).  Unlike quantize_for_serving this
+        is lossless; it removes the XLA weight-relayout temporaries that
+        made batched bf16 decode OOM on a single chip.  Reversible only in
+        the sense that quantize_for_serving still accepts packed params.
+        """
+        from magma_tpu.models.gptj import pack_lm_params_bf16
+
+        self.params["lm"] = pack_lm_params_bf16(self.params["lm"])
+        return self
+
     # ------------------------------------------------------------------
     # Checkpoint
     # ------------------------------------------------------------------

@@ -46,6 +46,22 @@ def _pick_block(s: int, prefer=(512, 384, 256, 128)) -> int:
     raise NotImplementedError(f"dim {s} not a multiple of 128")
 
 
+def _pad_rows(x: jnp.ndarray):
+    """Pad the row (M) dim so a large MXU-friendly row block always exists.
+
+    Collapsing to 8-row blocks when M isn't a multiple of 256 runs the MXU
+    at ~6% utilization — a 1984-token prefill through the 6B model took
+    seconds that way.  Padding M up to a multiple of the block is ~3%
+    wasted compute at worst.  Returns (padded x, bm, original m).
+    """
+    m = x.shape[0]
+    bm = min(256, ((m + 7) // 8) * 8)
+    mp = ((m + bm - 1) // bm) * bm
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    return x, bm, m
+
+
 def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
     kb = pl.program_id(2)
 
@@ -70,14 +86,8 @@ def _int8_matmul_2d(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray):
     k2, n = wq.shape
     assert k == k2, (x.shape, wq.shape)
 
-    pad_m = (-m) % 8
-    if pad_m:
-        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    x, bm, m = _pad_rows(x)
     mp = x.shape[0]
-
-    bm = min(mp, 256) if mp % 8 == 0 else 8
-    if mp % bm:
-        bm = 8
     bk = _pick_block(k)
     bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
     n_k = k // bk
@@ -102,7 +112,7 @@ def _int8_matmul_2d(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(x, wq, scales.reshape(1, n))
-    return out[:m] if pad_m else out
+    return out if mp == m else out[:m]
 
 
 def _int8_matmul_stacked_kernel(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
@@ -148,13 +158,8 @@ def _int8_matmul_stacked_2d(x, wq, scales, layer_idx):
     L, k2, n = wq.shape
     assert k == k2, (x.shape, wq.shape)
 
-    pad_m = (-m) % 8
-    if pad_m:
-        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    x, bm, m = _pad_rows(x)
     mp = x.shape[0]
-    bm = min(mp, 256) if mp % 8 == 0 else 8
-    if mp % bm:
-        bm = 8
     bk = _pick_block(k)
     bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
     n_k = k // bk
@@ -185,7 +190,7 @@ def _int8_matmul_stacked_2d(x, wq, scales, layer_idx):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(idx, x, wq, scales.reshape(L, 1, n))
-    return out[:m] if pad_m else out
+    return out if mp == m else out[:m]
 
 
 def _int8_matmul_dx_kernel(idx_ref, g_ref, w_ref, s_ref, o_ref, acc_ref,
@@ -220,13 +225,8 @@ def _int8_matmul_stacked_dx(g, wq, scales, layer_idx):
     L, k, n2 = wq.shape
     assert n == n2
 
-    pad_m = (-m) % 8
-    if pad_m:
-        g = jnp.pad(g, ((0, pad_m), (0, 0)))
+    g, bm, m = _pad_rows(g)
     mp = g.shape[0]
-    bm = min(mp, 256) if mp % 8 == 0 else 8
-    if mp % bm:
-        bm = 8
     bn = _pick_block(n)
     bk = _pick_block(k, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
     n_n = n // bn
@@ -257,7 +257,7 @@ def _int8_matmul_stacked_dx(g, wq, scales, layer_idx):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(idx, g, wq, scales.reshape(L, 1, n))
-    return out[:m] if pad_m else out
+    return out if mp == m else out[:m]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

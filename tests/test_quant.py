@@ -73,3 +73,52 @@ def test_quantized_lm_matches_full_precision():
     np.testing.assert_allclose(
         np.asarray(sl[:, 0]), np.asarray(l1[:, 7]), atol=2e-2
     )
+
+
+def test_packed_bf16_lm_matches_raw():
+    """pack_lm_params_bf16 (Pallas stacked streaming, no quantization) must
+    be numerically equivalent to the raw scan path, and quantize must
+    accept packed params (unwrap)."""
+    cfg = gptj.GPTJConfig.tiny(d_model=256, n_heads=2, d_ff=1024)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 256)) * 0.02
+    p0 = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    l0, _ = gptj.forward(cfg, p0, emb)
+    packed = gptj.pack_lm_params_bf16(
+        gptj.init_params(jax.random.PRNGKey(0), cfg)
+    )
+    assert packed["blocks"]["attn"]["q"]["q"].dtype == cfg.param_dtype
+    assert "lm_head_q" in packed
+    l1, _ = gptj.forward(cfg, packed, emb)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=2e-2)
+
+    # cached decode through the packed path
+    cache = gptj.init_kv_cache(cfg, 2, 16)
+    _, cache = gptj.forward(cfg, packed, emb[:, :7], cache=cache,
+                            cache_index=jnp.int32(0))
+    sl, _ = gptj.forward(cfg, packed, emb[:, 7:8], cache=cache,
+                         cache_index=jnp.int32(7))
+    np.testing.assert_allclose(np.asarray(sl[:, 0]), np.asarray(l1[:, 7]),
+                               atol=2e-2)
+
+    # quantizing packed params unwraps them first
+    qp = gptj.quantize_lm_params(packed)
+    lq, _ = gptj.forward(cfg, qp, emb)
+    assert int(jnp.argmax(lq[0, -1])) == int(jnp.argmax(l0[0, -1]))
+
+
+def test_int8_matmul_row_padding():
+    """M not divisible by the row block must still compute correctly (the
+    kernel pads M internally; a 1984-row prefill once fell to 8-row blocks
+    at ~6% MXU utilization)."""
+    for m in (1, 7, 149, 300):
+        x = jax.random.normal(jax.random.PRNGKey(m), (m, 128), jnp.float32)
+        x = x.astype(jnp.bfloat16)  # same input rounding as the kernel path
+        w = jax.random.normal(jax.random.PRNGKey(m + 1), (128, 128))
+        q = quantize_int8(w)
+        out = int8_matmul(x, q["q"], q["s"])
+        ref = x.astype(jnp.float32) @ (
+            q["q"].astype(jnp.float32) * q["s"][None, :]
+        )
+        assert out.shape == (m, 128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
