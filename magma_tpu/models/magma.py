@@ -102,7 +102,13 @@ class Magma:
         self.config = config
 
         self.lm_config = build_lm_config(config)
-        self.seq_len = self.lm_config.max_seq_len
+        # config.seq_len caps the training sequence below the LM's native
+        # context (e.g. 6B finetuning at seq 256 on one chip); default is
+        # the LM maximum, matching the reference (magma/magma.py:44)
+        self.seq_len = min(
+            config.seq_len or self.lm_config.max_seq_len,
+            self.lm_config.max_seq_len,
+        )
         self.tokenizer = get_tokenizer("gpt2", sequence_length=self.seq_len)
         self.image_token = self.tokenizer.cls_token_id
         self.eos_token = self.tokenizer.eos_token_id
@@ -131,14 +137,25 @@ class Magma:
             ip_params, ip_stats = jax.jit(
                 lambda k: ip_mod.init_params(k, ip_cfg)
             )(k_ip)
-            self.params = {
-                "lm": jax.jit(lambda k: gptj.init_params(k, lm_cfg))(k_lm),
-                "image_prefix": ip_params,
-            }
-            self.state = {"image_prefix": ip_stats}
             if config.train_lm_int8:
                 assert config.freeze_lm, "train_lm_int8 requires a frozen LM"
-                self.params["lm"] = gptj.quantize_lm_params(self.params["lm"])
+                # init + quantize fused in ONE jit: XLA frees each bf16
+                # tensor as soon as its int8 version exists, so the peak
+                # stays ~8 GB instead of ~14.5 GB.  Quantizing as a second
+                # program left the HBM arena fragmented enough that the
+                # training forward OOM'd on a 16 GB chip even though the
+                # resident bytes fit.
+                lm_params = jax.jit(
+                    lambda k: gptj.quantize_lm_params(
+                        gptj.init_params(k, lm_cfg)
+                    )
+                )(k_lm)
+            else:
+                lm_params = jax.jit(lambda k: gptj.init_params(k, lm_cfg))(
+                    k_lm
+                )
+            self.params = {"lm": lm_params, "image_prefix": ip_params}
+            self.state = {"image_prefix": ip_stats}
 
     # ------------------------------------------------------------------
     # Freezing policy
