@@ -160,6 +160,14 @@ def main():
     prompt_b8 = jnp.broadcast_to(prompt, (8, *prompt.shape[1:]))
     tps_int8_b8, _ = bench_generate(lm_params, prompt_b8, "int8 b=8")
 
+    # (d) long-context: 1984-token prompt + 64 decode steps (prefill incl.)
+    prompt_long = jnp.concatenate(
+        [jnp.zeros((1, 1984 - prompt.shape[1], prompt.shape[2]),
+                   jnp.bfloat16), prompt], axis=1,
+    )
+    tps_int8_long, _ = bench_generate(lm_params, prompt_long,
+                                      "int8 b=1 ctx=1984")
+
     tps = tps_int8
     result = {
         "metric": "generate_tokens_per_sec_per_chip",
@@ -169,9 +177,10 @@ def main():
         "model": "gptj-6b+rn50x16 (int8 weight-only serving)",
         "detail": {
             "decode_tps_bf16_b1": round(tps_bf16, 2),
-            "decode_tps_bf16_b4": round(tps_bf16_b8, 2),
+            "decode_tps_bf16_b8": round(tps_bf16_b8, 2),
             "decode_tps_int8_b1": round(tps_int8, 2),
             "decode_tps_int8_b8": round(tps_int8_b8, 2),
+            "decode_tps_int8_b1_ctx1984": round(tps_int8_long, 2),
             "caption_e2e_p50_s": round(t_int8 + t_vision_ms / 1e3, 3),
             "vision_p50_ms": round(t_vision_ms, 1),
             "prompt_tokens": int(prompt.shape[1]),

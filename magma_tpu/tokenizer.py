@@ -79,7 +79,13 @@ class MagmaTokenizer:
         ids = [int(i) for i in np.asarray(ids).reshape(-1)]
         # strip special tokens (image / eos) like the reference decode path
         # (magma/sampling.py:33-40 removes image and eos tokens first).
-        ids = [i for i in ids if i < GPT2_VOCAB_SIZE and i != self.eos_token_id]
+        # image_token_id is always the last real id, so `< image_token_id`
+        # also drops MXU vocab-padding ids — and stays correct for
+        # miniature test vocabs where the ids aren't 50256/50257.
+        ids = [
+            i for i in ids
+            if i < self.image_token_id and i != self.eos_token_id
+        ]
         return self._decode_ids(ids)
 
     def batch_decode(self, batch: Union[np.ndarray, Sequence[Sequence[int]]]) -> List[str]:
