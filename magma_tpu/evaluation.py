@@ -46,34 +46,43 @@ def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
 def eval_loss(model, dataset, n_batches: int = 25, batch_size: int = 8,
               seed: int = 0) -> float:
     """Mean caption LM loss over random batches (eval_step parity for
-    standalone evaluation)."""
+    standalone evaluation).
+
+    Uses the jitted chunked-loss path — one compiled program for all
+    batches, and the (b, s, vocab) fp32 logits never materialize, so this
+    runs against the 6B flagship on a single chip."""
+    import jax
+
     from magma_tpu.data.dataset import collate_fn
 
+    loss_jit = jax.jit(
+        lambda p, s, i, c: model.loss_fn(p, s, i, c, train=False)[0]
+    )
     rng = np.random.RandomState(seed)
     losses = []
     for _ in range(n_batches):
         idxs = rng.randint(0, len(dataset), batch_size)
         images, captions = collate_fn([dataset[i] for i in idxs],
                                       seq_len=model.seq_len)
-        loss, _ = model.forward(images, captions)
-        losses.append(float(loss))
-    return float(np.mean(losses))
+        losses.append(loss_jit(model.params, model.state, images, captions))
+    return float(np.mean([float(l) for l in losses]))
 
 
 def eval_captions(model, dataset, n_samples: int = 4, max_steps: int = 30,
                   temperature: float = 0.7, top_p: float = 0.9,
                   seed: int = 0) -> List[Dict]:
-    """Sample captions for n images; returns [{pred, refs}]."""
+    """Sample captions for n images in ONE batched generate call;
+    returns [{pred, refs}]."""
     rng = np.random.RandomState(seed)
-    out = []
-    for i in rng.randint(0, len(dataset), n_samples):
-        img, _ = dataset[int(i)]
-        refs = dataset.data[int(i)].get("captions", [])
-        emb = model.embed([np.asarray(img)])
-        pred = model.generate(emb, max_steps=max_steps,
-                              temperature=temperature, top_p=top_p)[0]
-        out.append({"pred": pred, "refs": refs})
-    return out
+    idxs = [int(i) for i in rng.randint(0, len(dataset), n_samples)]
+    images = np.concatenate([np.asarray(dataset[i][0]) for i in idxs])
+    emb = model.embed([images])
+    preds = model.generate(emb, max_steps=max_steps,
+                           temperature=temperature, top_p=top_p)
+    return [
+        {"pred": pred, "refs": dataset.data[i].get("captions", [])}
+        for pred, i in zip(preds, idxs)
+    ]
 
 
 def eval_vqa(
@@ -83,13 +92,21 @@ def eval_vqa(
     max_steps: int = 8,
     prompt_format: str = "Q: {question} A:",
     seed: int = 0,
+    batch_size: int = 8,
 ) -> Dict:
     """Open-ended VQA over a standard-layout dataset dir.
 
     Each ``image_data/*/*.json`` must carry ``metadata.question`` and
     ``metadata.answers`` (a list of annotator answers).  Returns
     {"accuracy", "n", "answers": [{question, pred, answers, acc}]}.
+
+    Questions run in batches of ``batch_size``: prompts are right-padded
+    to a common length and decoded with per-row prompt lengths (ragged
+    batched decode; numerics identical to one-at-a-time generation) — one
+    compiled program and b× fewer decode loops than the per-image path.
     """
+    import jax.numpy as jnp
+
     from magma_tpu.data.dataset import LazyLoader
     from pathlib import Path
     from PIL import Image
@@ -101,27 +118,52 @@ def eval_vqa(
         np.random.RandomState(seed).shuffle(idxs)
         idxs = idxs[:n_samples]
 
-    records = []
+    samples = []
     for i in idxs:
         data = loader[i]
         meta = data.get("metadata", {})
         question = meta.get("question")
-        answers = meta.get("answers", [])
         if question is None:
             continue
-        img_path = data_dir / data["image_path"]
-        img = Image.open(img_path)
-        img_arr = model.transforms(img)
-        prompt = prompt_format.format(question=question)
-        emb = model.embed([np.asarray(img_arr),
-                           model.tokenizer.encode(prompt)])
-        pred = model.generate(emb, max_steps=max_steps, temperature=0.0)[0]
-        # first line / sentence of the generation is the answer
-        pred = re.split(r"[\n.]", pred)[0].strip()
-        records.append({
-            "question": question, "pred": pred, "answers": answers,
-            "acc": vqa_accuracy(pred, answers),
+        img = Image.open(data_dir / data["image_path"])
+        tokens = model.tokenizer.encode(
+            prompt_format.format(question=question)
+        )[0]
+        samples.append({
+            "question": question,
+            "answers": meta.get("answers", []),
+            "image": np.asarray(model.transforms(img)),
+            "tokens": tokens,
         })
+
+    records = []
+    eos = model.eos_token
+    for lo in range(0, len(samples), batch_size):
+        chunk = samples[lo:lo + batch_size]
+        images = np.concatenate([s["image"] for s in chunk])
+        # right-pad token prompts to the longest in the batch (pad = eos;
+        # masked out of attention via per-row prompt_len)
+        text_lens = [len(s["tokens"]) for s in chunk]
+        width = max(text_lens)
+        tokens = np.full((len(chunk), width), eos, np.int32)
+        for r, s_ in enumerate(chunk):
+            tokens[r, : text_lens[r]] = s_["tokens"]
+        emb = model.embed([images, tokens])
+        n_img = emb.shape[1] - width
+        prompt_len = jnp.asarray(
+            [n_img + t for t in text_lens], jnp.int32
+        )
+        preds = model.generate(
+            emb, max_steps=max_steps, temperature=0.0, prompt_len=prompt_len
+        )
+        for s_, pred in zip(chunk, preds):
+            # first line / sentence of the generation is the answer
+            pred = re.split(r"[\n.]", pred)[0].strip()
+            records.append({
+                "question": s_["question"], "pred": pred,
+                "answers": s_["answers"],
+                "acc": vqa_accuracy(pred, s_["answers"]),
+            })
 
     acc = float(np.mean([r["acc"] for r in records])) if records else 0.0
     return {"accuracy": acc, "n": len(records), "answers": records}

@@ -325,7 +325,8 @@ def _block(
                 q, kk, v, scale=scale, impl=cfg.attention_impl,
                 kv_len=kv_len, q_offset=0,
             )
-        elif jax.default_backend() == "tpu" and cfg.decode_impl == "pallas":
+        elif (jax.default_backend() == "tpu" and cfg.decode_impl == "pallas"
+              and idx.ndim == 0):  # kernel takes a scalar length
             # fused Pallas decode over the stacked cache (ops/decode_kernel)
             from magma_tpu.ops.decode_kernel import decode_attention_stacked
 
@@ -360,15 +361,29 @@ def _block(
 
 def _write_cache(cache: Dict, k_new, v_new, cache_index) -> Dict:
     """One stacked dynamic-update-slice per tensor: writes all layers' new
-    K/V ((L, b, s, h, hd)) into the (L, b, max_len, h, hd) cache."""
+    K/V ((L, b, s, h, hd)) into the (L, b, max_len, h, hd) cache.
+
+    ``cache_index`` may be per-row (b,) for batched decode over ragged
+    prompt lengths — each row then writes at its own position (lowered as
+    a scatter; the written slice is tiny)."""
     idx = jnp.asarray(cache_index, jnp.int32)
+    if idx.ndim == 0:
+        return {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], k_new, (0, 0, idx, 0, 0)
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], v_new, (0, 0, idx, 0, 0)
+            ),
+        }
+
+    def upd(c, n, i):  # c: (L, max, h, hd); n: (L, s, h, hd); i: scalar
+        return jax.lax.dynamic_update_slice(c, n, (0, i, 0, 0))
+
+    row_upd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
     return {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], k_new, (0, 0, idx, 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], v_new, (0, 0, idx, 0, 0)
-        ),
+        "k": row_upd(cache["k"], k_new, idx),
+        "v": row_upd(cache["v"], v_new, idx),
     }
 
 
@@ -517,9 +532,15 @@ def forward(
     x = inputs_embeds.astype(cdt)
 
     if positions is None:
-        start = 0 if cache_index is None else cache_index
-        positions = jnp.arange(s)[None, :] + jnp.asarray(start)[None]
-        positions = jnp.broadcast_to(positions.reshape(1, s), (b, s))
+        start = jnp.asarray(
+            0 if cache_index is None else cache_index, jnp.int32
+        )
+        if start.ndim == 0:
+            positions = jnp.broadcast_to(
+                jnp.arange(s)[None, :] + start, (b, s)
+            )
+        else:  # per-row start (ragged-prompt batched decode)
+            positions = start[:, None] + jnp.arange(s)[None, :]
     sin, cos = rotary_sincos(positions, cfg.rotary_dim)
 
     remat = cfg.remat if remat is None else remat

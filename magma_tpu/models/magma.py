@@ -239,8 +239,14 @@ class Magma:
         top_p: float = 0.9,
         decode: bool = True,
         rng: Optional[jax.Array] = None,
+        prompt_len=None,
     ):
-        """KV-cached sampling.  Parity: magma.py:214-236 + sampling.py."""
+        """KV-cached sampling.  Parity: magma.py:214-236 + sampling.py.
+
+        ``prompt_len`` (optional, (b,)) gives per-row true prompt lengths
+        for a batch of right-padded prompts (batched VQA/captioning over
+        ragged questions); default = the full embedding length.
+        """
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         embeddings = jnp.asarray(embeddings)
@@ -251,11 +257,15 @@ class Magma:
         pad = (-s) % 64
         if pad:
             embeddings = jnp.pad(embeddings, ((0, 0), (0, pad), (0, 0)))
+        if prompt_len is None:
+            prompt_len = jnp.int32(s)
+        else:
+            prompt_len = jnp.asarray(prompt_len, jnp.int32)
         tokens, _ = generate_tokens(
             self.lm_config, self.params["lm"], embeddings, rng,
             max_steps=max_steps, temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p), eos_token=self.eos_token,
-            prompt_len=jnp.int32(s),
+            prompt_len=prompt_len,
         )
         tokens = np.asarray(tokens)
         if not decode:

@@ -114,11 +114,16 @@ def generate_tokens(
     top_k: int = 0,
     top_p: float = 0.9,
     eos_token: int = 50256,
-    prompt_len: Optional[jnp.ndarray] = None,  # scalar true prompt length
+    prompt_len: Optional[jnp.ndarray] = None,  # scalar or (b,) true lengths
     top_p_mode: str = "reference",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached generation.  Returns (tokens (b, max_steps) int32,
     n_steps int32 — number of valid steps before early exit).
+
+    ``prompt_len`` may be per-row (b,) for a batch of right-padded prompts
+    of different true lengths (e.g. batched VQA): each row decodes from
+    its own last true position, padding is masked out of attention, and
+    cache writes land at per-row offsets.
 
     Positions beyond the early-exit step are filled with EOS.
     """
@@ -128,18 +133,26 @@ def generate_tokens(
     if prompt_len is None:
         prompt_len = jnp.int32(s)
     else:
-        prompt_len = prompt_len.astype(jnp.int32)
+        prompt_len = jnp.asarray(prompt_len).astype(jnp.int32)
+    per_row = prompt_len.ndim == 1
 
     cache = gptj.init_kv_cache(cfg, b, s + max_steps)
 
     # ---- prefill (sampling.py:81-85) ----
     logits, cache = gptj.forward(
         cfg, params, embeddings, cache=cache,
-        cache_index=jnp.int32(0), kv_len=jnp.full((b,), prompt_len),
+        cache_index=jnp.int32(0), kv_len=jnp.broadcast_to(prompt_len, (b,)),
         remat=False,
     )
     # logits at the last *true* prompt position
-    last = jax.lax.dynamic_slice_in_dim(logits, prompt_len - 1, 1, axis=1)[:, 0]
+    if per_row:
+        last = jnp.take_along_axis(
+            logits, (prompt_len - 1)[:, None, None], axis=1
+        )[:, 0]
+    else:
+        last = jax.lax.dynamic_slice_in_dim(
+            logits, prompt_len - 1, 1, axis=1
+        )[:, 0]
 
     tokens0 = jnp.full((b, max_steps), eos_token, jnp.int32)
     done0 = jnp.zeros((b,), jnp.bool_)

@@ -101,3 +101,26 @@ def test_generate_early_eos_stop(tiny_lm_config):
 def test_strip_after_eos():
     row = [5, 50257, 7, 50256, 9, 11]
     assert strip_after_eos(row, 50256, 50257) == [5, 7]
+
+
+def test_ragged_batched_decode_matches_individual():
+    """Per-row prompt_len: a batch of right-padded prompts of different
+    lengths must decode exactly like one-at-a-time generation."""
+    import numpy as np
+
+    cfg = gptj.GPTJConfig.tiny(d_model=128, n_heads=4, d_ff=512)
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(7)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (3, 12, 128)) * 0.3
+    lens = [5, 12, 9]
+
+    toks_b, _ = generate_tokens(
+        cfg, params, emb, rng, max_steps=6, temperature=0.0, top_k=0,
+        top_p=0.0, eos_token=-1, prompt_len=jnp.asarray(lens, jnp.int32),
+    )
+    for i, L in enumerate(lens):
+        t, _ = generate_tokens(
+            cfg, params, emb[i:i + 1, :L], rng, max_steps=6,
+            temperature=0.0, top_k=0, top_p=0.0, eos_token=-1,
+        )
+        assert np.array_equal(np.asarray(t[0]), np.asarray(toks_b[i]))
