@@ -89,7 +89,12 @@ def _int8_matmul_2d(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray):
     x, bm, m = _pad_rows(x)
     mp = x.shape[0]
     bk = _pick_block(k)
-    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
+    # 16768 = 128*131 serves the GPT-2 padded vocab (50304 = 3*16768):
+    # the lm_head with bn=384 ran 131 tiny N-tiles per K-block and was
+    # DMA-latency-bound (0.90 -> 0.64 ms/token measured at b=1)
+    bn = _pick_block(
+        n, prefer=(16768, 4096, 2048, 1536, 1024, 512, 384, 256, 128)
+    )
     n_k = k // bk
 
     out = pl.pallas_call(
