@@ -103,11 +103,16 @@ class ImgCptDataset:
         return self.data_dir / "images" / shard / (json_path.stem + ".jpg")
 
     def _load_one(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        from PIL import Image
-
         record = self.data[idx]
-        with Image.open(self._image_file(record, idx)) as img:
-            pixels = self.transforms(img)
+        if getattr(self.transforms, "wants_path", False):
+            # native C++ path: decode + preprocess in one GIL-free call
+            # (magma_tpu/native); raises IOError -> retry loop below
+            pixels = self.transforms(self._image_file(record, idx))
+        else:
+            from PIL import Image
+
+            with Image.open(self._image_file(record, idx)) as img:
+                pixels = self.transforms(img)
         caption = random.choice(record["captions"])
         tokens = self.tokenizer.encode(
             caption, max_length=self.seq_len, padding="max_length",

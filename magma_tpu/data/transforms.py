@@ -154,12 +154,28 @@ def get_transforms(
     encoder_name: str,
     input_resolution: int = None,
     use_extra_transforms: bool = False,
+    native: bool = None,
 ) -> Callable:
     """Transform factory.  Parity: transforms.py:64-84 + get_transforms
     dispatch in magma/magma.py:66-70: CLIP encoders use the deterministic
     CLIP preprocess at the encoder's native resolution; others use the
-    random-crop train pipeline at config.image_size."""
+    random-crop train pipeline at config.image_size.
+
+    ``native`` selects the C++ decode+preprocess path (magma_tpu/native)
+    for the deterministic CLIP pipeline: one GIL-free call per image,
+    ~2x a PIL+XLA-CPU worker and immune to per-image-shape recompiles.
+    Default (None) = use it when the shared library builds; it degrades
+    to the PIL path per-call for non-path inputs (e.g. URL images)."""
     if "clip" in encoder_name:
         assert input_resolution is not None
+        if native is None or native:
+            from magma_tpu import native as native_mod
+
+            if native_mod.available():
+                return native_mod.NativeClipTransform(input_resolution)
+            if native:  # explicitly requested
+                raise RuntimeError(
+                    f"native loader unavailable: {native_mod.build_error()}"
+                )
         return clip_transform(input_resolution)
     return train_transform(image_size, use_extra_transforms)

@@ -8,6 +8,7 @@ setup(
         "with the capabilities of Aleph-Alpha/magma"
     ),
     packages=find_packages(include=["magma_tpu", "magma_tpu.*"]),
+    package_data={"magma_tpu.native": ["loader.cc"]},
     python_requires=">=3.10",
     install_requires=[
         "jax>=0.4.30",
