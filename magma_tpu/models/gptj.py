@@ -16,8 +16,9 @@ TPU-native design decisions (vs a torch translation):
   no runtime module mutation.
 * **Attention** dispatches to the Pallas flash kernel (ops/flash_attention)
   or the XLA reference path; fp32 softmax stats either way.
-* **KV cache** is a fixed-shape bf16 pytree (layer-stacked) updated with
-  dynamic slices inside the scan — no host sync in the decode loop.
+* **KV cache** is a fixed-shape pytree (layer-stacked, bf16 or int8 with
+  per-position/head scales) updated with dynamic slices inside the scan —
+  no host sync in the decode loop.
 * **Vocab padding**: the embedding/logit dimension is padded up to a
   multiple of 128 so the final matmul tiles the MXU perfectly; padded
   logits are masked to -inf by consumers (sampling / loss).
@@ -59,10 +60,14 @@ class GPTJConfig:
     # (they are the trainable set; optimizer quality wants fp32)
     adapter_param_dtype: Any = jnp.float32
     attention_impl: str = "flash"
-    # decode cache read: "xla" (dynamic per-layer slice; reliably fast) or
-    # "pallas" (ops/decode_kernel — reads the cache exactly once, but the
-    # dynamically-indexed pipeline measured slower end-to-end on v5e)
+    # decode cache read: "xla" (dynamic per-layer slice fused into the
+    # attention einsum; reliably fast) or "pallas" (ops/decode_kernel —
+    # double-buffered manual DMA reads only the *valid* cache prefix, but
+    # per-call kernel latency in the serial decode chain made it measure
+    # slower end-to-end on v5e; kept opt-in pending a fix)
     decode_impl: str = "xla"
+    # "bf16" or "int8" (per-position/head scales; halves decode cache BW)
+    kv_cache_dtype: str = "bf16"
     remat: bool = True
     mlp_adapter: Optional[AdapterSpec] = None
     attn_adapter: Optional[AdapterSpec] = None
@@ -154,12 +159,47 @@ def init_params(rng: jax.Array, cfg: GPTJConfig) -> Dict:
 
 
 def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
-    """Fixed-shape KV cache pytree: (L, b, max_len, h, hd) in bf16."""
+    """Fixed-shape KV cache pytree: (L, b, max_len, h, hd).
+
+    ``cfg.kv_cache_dtype == "int8"`` stores K/V as int8 with one scale per
+    (layer, row, position) — halving the dominant HBM stream of
+    long-context decode.  Quantization happens at write time
+    (``_write_cache``); the decode kernel dequantizes by folding the
+    scales into the score / p-weight columns (ops/decode_kernel.py).
+
+    The scale is replicated across a 128-wide trailing lane dim: Mosaic
+    only loads VMEM tiles whose minor dim is lane-aligned, so a compact
+    (.., max) scale array could not be streamed next to the int8 blocks;
+    the 128x bf16 replica costs ~6% extra bandwidth and keeps every
+    kernel access a full-width tile load."""
     shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
+    if cfg.kv_cache_dtype == "int8":
+        sc_shape = (cfg.n_layers, batch, max_len, 128)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sc_shape, jnp.bfloat16),
+            "v_scale": jnp.zeros(sc_shape, jnp.bfloat16),
+        }
     return {
         "k": jnp.zeros(shape, jnp.bfloat16),
         "v": jnp.zeros(shape, jnp.bfloat16),
     }
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(layer,row,position) symmetric int8: x (L, b, s, h, hd) ->
+    (int8 same shape, scale (L, b, s, 128) lane-replicated bf16)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-2, -1))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None, None]),
+        -127, 127,
+    ).astype(jnp.int8)
+    sc = jnp.broadcast_to(
+        scale[..., None], (*scale.shape, 128)
+    ).astype(jnp.bfloat16)
+    return q, sc
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +309,29 @@ def _layer_norm(x: jnp.ndarray, p: Dict, eps: float, out_dtype) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
+def _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v, scale):
+    """XLA decode-attention path: dynamic per-layer cache slice (fused into
+    the attention einsum), with int8 dequantization when the cache carries
+    scales."""
+    cdt = cfg.compute_dtype
+
+    def layer_of(t):
+        return jax.lax.dynamic_index_in_dim(t, layer_idx, 0, keepdims=False)
+
+    k_l, v_l = layer_of(cache_d["k"]), layer_of(cache_d["v"])
+    if "k_scale" in cache_d:  # dequantize the int8 slice
+        k_l = k_l.astype(cdt) * layer_of(
+            cache_d["k_scale"]
+        )[..., :1, None].astype(cdt)
+        v_l = v_l.astype(cdt) * layer_of(
+            cache_d["v_scale"]
+        )[..., :1, None].astype(cdt)
+    return decode_attention(
+        q, k_l.astype(cdt), v_l.astype(cdt), idx, scale=scale,
+        self_kv=(kk, v),
+    )
+
+
 def _block(
     cfg: GPTJConfig,
     bp: Dict,                       # single-layer block params (unstacked)
@@ -312,36 +375,39 @@ def _block(
         )
     else:
         # Deferred cache write: the block emits only its NEW K/V entries
-        # (tiny); the caller writes the stacked cache once outside the
-        # layer scan.  Reads go straight to the full stacked cache (by
-        # layer index) so the scan never copies cache slices — at long
-        # contexts those copies cost GB/token.
-        k_cache, v_cache, layer_idx = cache_kv
+        # (tiny, still full-precision); the caller quantizes (if int8) and
+        # writes the stacked cache once outside the layer scan.  Reads go
+        # straight to the full stacked cache (by layer index) so the scan
+        # never copies cache slices — at long contexts those copies cost
+        # GB/token.
+        cache_d, layer_idx = cache_kv
         idx = cache_index.astype(jnp.int32)
-        new_kv = (kk.astype(k_cache.dtype), v.astype(v_cache.dtype))
+        new_kv = (kk.astype(cdt), v.astype(cdt))
         if s > 1:
             # prefill: keys are the just-computed prompt positions
             attn = causal_attention(
                 q, kk, v, scale=scale, impl=cfg.attention_impl,
                 kv_len=kv_len, q_offset=0,
             )
-        elif (jax.default_backend() == "tpu" and cfg.decode_impl == "pallas"
-              and idx.ndim == 0):  # kernel takes a scalar length
+        elif jax.default_backend() == "tpu" and cfg.decode_impl == "pallas":
             # fused Pallas decode over the stacked cache (ops/decode_kernel)
             from magma_tpu.ops.decode_kernel import decode_attention_stacked
 
-            attn = decode_attention_stacked(
-                q, k_cache, v_cache, layer_idx, idx, (kk, v), scale=scale
-            )
+            try:
+                attn = decode_attention_stacked(
+                    q, cache_d["k"], cache_d["v"], layer_idx, idx, (kk, v),
+                    scale=scale,
+                    k_scale=cache_d.get("k_scale"),
+                    v_scale=cache_d.get("v_scale"),
+                )
+            except NotImplementedError:
+                # cache geometry unsupported (len % 128, head_dim % 128):
+                # fall back to the XLA path below
+                attn = _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v,
+                                   scale)
         else:
-            k_l = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0,
-                                               keepdims=False)
-            v_l = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0,
-                                               keepdims=False)
-            attn = decode_attention(
-                q, k_l.astype(cdt), v_l.astype(cdt), idx,
-                scale=scale, self_kv=(kk, v),
-            )
+            attn = _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v,
+                               scale)
 
     a = _mm(attn.reshape(b, s, D), bp["attn"]["o"], cdt)
     if "o_bias" in bp["attn"]:
@@ -365,25 +431,33 @@ def _write_cache(cache: Dict, k_new, v_new, cache_index) -> Dict:
 
     ``cache_index`` may be per-row (b,) for batched decode over ragged
     prompt lengths — each row then writes at its own position (lowered as
-    a scatter; the written slice is tiny)."""
+    a scatter; the written slice is tiny).  int8 caches quantize the new
+    entries here — the only write point."""
     idx = jnp.asarray(cache_index, jnp.int32)
+    entries = {}
+    if "k_scale" in cache:
+        entries["k"], entries["k_scale"] = _quantize_kv(k_new)
+        entries["v"], entries["v_scale"] = _quantize_kv(v_new)
+    else:
+        entries["k"], entries["v"] = k_new, v_new
+
     if idx.ndim == 0:
         return {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], k_new, (0, 0, idx, 0, 0)
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], v_new, (0, 0, idx, 0, 0)
-            ),
+            name: jax.lax.dynamic_update_slice(
+                cache[name], new, (0, 0, idx) + (0,) * (new.ndim - 3)
+            )
+            for name, new in entries.items()
         }
 
-    def upd(c, n, i):  # c: (L, max, h, hd); n: (L, s, h, hd); i: scalar
-        return jax.lax.dynamic_update_slice(c, n, (0, i, 0, 0))
+    def upd(c, n, i):  # c: (L, max, ...); n: (L, s, ...); i: scalar
+        return jax.lax.dynamic_update_slice(
+            c, n, (0, i) + (0,) * (n.ndim - 2)
+        )
 
     row_upd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
     return {
-        "k": row_upd(cache["k"], k_new, idx),
-        "v": row_upd(cache["v"], v_new, idx),
+        name: row_upd(cache[name], new, idx)
+        for name, new in entries.items()
     }
 
 
@@ -423,7 +497,7 @@ def _run_blocks(
         bp, idx = layer_in
         y, new_kv = _block(
             cfg, bp, carry, sin, cos, kv_len,
-            (cache["k"], cache["v"], idx), cache_index,
+            (cache, idx), cache_index,
         )
         return y, new_kv
 
@@ -498,8 +572,7 @@ def _run_blocks_quantized(
     def body(carry, xs):
         small_l, idx = xs
         y, new_kv = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
-                           kv_len, (cache["k"], cache["v"], idx),
-                           cache_index)
+                           kv_len, (cache, idx), cache_index)
         return y, new_kv
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (small, jnp.arange(L)))
