@@ -38,6 +38,8 @@ _LAZY = {
     "load_pretrained_encoder": (
         "magma_tpu.training.torch_convert", "load_pretrained_encoder"
     ),
+    "LMServingEngine": ("magma_tpu.serving.engine", "LMServingEngine"),
+    "MagmaServingEngine": ("magma_tpu.serving.engine", "MagmaServingEngine"),
 }
 
 

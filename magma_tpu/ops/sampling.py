@@ -139,20 +139,25 @@ def generate_tokens(
     cache = gptj.init_kv_cache(cfg, b, s + max_steps)
 
     # ---- prefill (sampling.py:81-85) ----
-    logits, cache = gptj.forward(
+    # return_hidden: only the last true position feeds the sampler, so the
+    # LM head runs on one row per batch element — materializing the full
+    # (b, s, 50304) fp32 prefill logits would cost 3.3 GB of HBM and
+    # ~0.8 TFLOP at b=8/ctx-2048 for values that are thrown away
+    hidden, cache = gptj.forward(
         cfg, params, embeddings, cache=cache,
         cache_index=jnp.int32(0), kv_len=jnp.broadcast_to(prompt_len, (b,)),
-        remat=False,
+        remat=False, return_hidden=True,
     )
-    # logits at the last *true* prompt position
+    # hidden at the last *true* prompt position
     if per_row:
-        last = jnp.take_along_axis(
-            logits, (prompt_len - 1)[:, None, None], axis=1
-        )[:, 0]
+        last_h = jnp.take_along_axis(
+            hidden, (prompt_len - 1)[:, None, None], axis=1
+        )
     else:
-        last = jax.lax.dynamic_slice_in_dim(
-            logits, prompt_len - 1, 1, axis=1
-        )[:, 0]
+        last_h = jax.lax.dynamic_slice_in_dim(
+            hidden, prompt_len - 1, 1, axis=1
+        )
+    last = gptj.lm_head(cfg, params, last_h)[:, 0]
 
     tokens0 = jnp.full((b, max_steps), eos_token, jnp.int32)
     done0 = jnp.zeros((b,), jnp.bool_)

@@ -34,12 +34,12 @@ def bench(cfg, b, plen, label):
 combos = [
     ("xla",    "bf16", 1, 149),
     ("xla",    "bf16", 1, 1984),
-    ("xla",    "bf16", 8, 149),
-    ("xla",    "bf16", 8, 1984),
     ("xla",    "int8", 1, 1984),
-    ("pallas", "bf16", 1, 1984),
+    ("xla",    "bf16", 8, 1984),
+    ("xla",    "int8", 8, 1984),
     ("pallas", "int8", 1, 1984),
     ("pallas", "int8", 8, 1984),
+    ("xla",    "int8", 8, 149),
 ]
 for impl, kvd, b, plen in combos:
     cfg = dataclasses.replace(base_cfg, decode_impl=impl, kv_cache_dtype=kvd)
