@@ -63,6 +63,7 @@ class FinishedRequest:
     jax.jit,
     static_argnames=("cfg", "max_len", "temperature", "top_k", "top_p",
                      "top_p_mode"),
+    donate_argnames=("cache",),   # in-place slot update: no 2x cache peak
 )
 def _prefill(cfg, params, cache, slot, embeds, prompt_len, rng, *,
              max_len, temperature, top_k, top_p, top_p_mode):
@@ -92,23 +93,42 @@ def _prefill(cfg, params, cache, slot, embeds, prompt_len, rng, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "temperature", "top_k", "top_p", "top_p_mode",
-                     "eos_token"),
+    static_argnames=("cfg", "n_steps", "temperature", "top_k", "top_p",
+                     "top_p_mode", "eos_token"),
+    donate_argnames=("cache",),   # in-place cache writes
 )
 def _decode(cfg, params, cache, last_toks, cur_lens, active, rng, *,
-            temperature, top_k, top_p, top_p_mode, eos_token):
-    """One decode step for every slot.  Returns (cache, tokens (B,))."""
-    emb = gptj.embed_tokens(cfg, params, last_toks[:, None])
-    hidden, cache = gptj.forward(
-        cfg, params, emb, cache=cache, cache_index=cur_lens, remat=False,
-        return_hidden=True,
+            n_steps, temperature, top_k, top_p, top_p_mode, eos_token):
+    """``n_steps`` decode steps for every slot in one program.  Returns
+    (cache, tokens (B, n_steps)).
+
+    Running a window of steps per dispatch amortizes the host->device
+    round trip (1-3 ms on tunneled transports) over n tokens.  The
+    active mask is frozen for the window; rows that hit EOS inside it
+    keep decoding into positions the host will discard — their slots get
+    retired (and the cache rows overwritten by the next prefill) anyway.
+    """
+
+    def step(carry, i):
+        cache, toks, lens = carry
+        emb = gptj.embed_tokens(cfg, params, toks[:, None])
+        hidden, cache = gptj.forward(
+            cfg, params, emb, cache=cache, cache_index=lens, remat=False,
+            return_hidden=True,
+        )
+        logits = gptj.lm_head(cfg, params, hidden)[:, 0]
+        tok = sample_token(
+            jax.random.fold_in(rng, i), logits, temperature=temperature,
+            top_k=top_k, top_p=top_p, vocab_size=cfg.vocab_size,
+            top_p_mode=top_p_mode,
+        )
+        tok = jnp.where(active, tok, jnp.int32(eos_token))
+        return (cache, tok, lens + active.astype(jnp.int32)), tok
+
+    (cache, _, _), toks = jax.lax.scan(
+        step, (cache, last_toks, cur_lens), jnp.arange(n_steps)
     )
-    logits = gptj.lm_head(cfg, params, hidden)[:, 0]
-    tok = sample_token(
-        rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
-        vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
-    )
-    return cache, jnp.where(active, tok, jnp.int32(eos_token))
+    return cache, toks.T  # (B, n_steps)
 
 
 class LMServingEngine:
@@ -133,6 +153,7 @@ class LMServingEngine:
         top_p: float = 0.0,
         top_p_mode: str = "reference",
         prefill_bucket: int = 64,
+        decode_window: int = 4,
         seed: int = 0,
     ):
         self.cfg = cfg
@@ -145,6 +166,9 @@ class LMServingEngine:
             top_p=float(top_p), top_p_mode=top_p_mode,
         )
         self.prefill_bucket = prefill_bucket
+        # tokens decoded per dispatch: amortizes host round trips; new
+        # requests are admitted at window boundaries
+        self.decode_window = max(1, int(decode_window))
         self._rng = jax.random.PRNGKey(seed)
         self._step_count = 0
         self._next_id = 0
@@ -203,6 +227,11 @@ class LMServingEngine:
             self._maybe_retire(slot_id)
 
     def _maybe_retire(self, slot_id):
+        self._retire_check(slot_id, int(self.cur_lens[slot_id]))
+
+    def _retire_check(self, slot_id, pos):
+        """Retire the slot if its latest token ends the request.  ``pos``
+        is the cache position the latest token's K/V landed at."""
         slot = self.slots[slot_id]
         if slot is None:
             return
@@ -210,7 +239,7 @@ class LMServingEngine:
             reason = "eos"
         elif len(slot.tokens) >= slot.max_new_tokens:
             reason = "length"
-        elif self.cur_lens[slot_id] + 1 >= self.max_len:
+        elif pos + 1 >= self.max_len:
             reason = "length"
         else:
             return
@@ -220,31 +249,39 @@ class LMServingEngine:
         self.slots[slot_id] = None
 
     def step(self) -> Dict[int, List[int]]:
-        """Admit pending requests, run one batched decode step.  Returns
-        {req_id: [tokens]} emitted during this call (a request admitted
-        this step yields its prefill token AND its first decode token)."""
+        """Admit pending requests, run one decode window (``decode_window``
+        tokens per active slot in one dispatch).  Returns {req_id:
+        [tokens]} emitted during this call (a request admitted this call
+        yields its prefill token plus its decode-window tokens)."""
         emitted: Dict[int, List[int]] = {}
         self._admit(emitted)
         active = np.array([s is not None for s in self.slots])
         if not active.any():
             return emitted
+        start_lens = self.cur_lens.copy()
         self.cache, toks = _decode(
             self.cfg, self.params, self.cache,
             jnp.asarray(self.last_toks), jnp.asarray(self.cur_lens),
             jnp.asarray(active), self._fold_rng(),
+            n_steps=self.decode_window,
             eos_token=self.eos_token, **self.sampling,
         )
-        toks = np.asarray(toks)  # (B,) int32 — the only D2H per step
-        self.cur_lens = self.cur_lens + active.astype(np.int32)
+        toks = np.asarray(toks)  # (B, n) int32 — the only D2H per window
+        # device wrote n positions for every row active at window start;
+        # host bookkeeping must mirror that even for rows retired below
+        self.cur_lens = self.cur_lens + active.astype(np.int32) * toks.shape[1]
         for slot_id in range(self.max_batch):
-            slot = self.slots[slot_id]
-            if slot is None:
+            if self.slots[slot_id] is None:
                 continue
-            tok = int(toks[slot_id])
-            slot.tokens.append(tok)
-            self.last_toks[slot_id] = tok
-            emitted.setdefault(slot.req_id, []).append(tok)
-            self._maybe_retire(slot_id)
+            for k in range(toks.shape[1]):
+                slot = self.slots[slot_id]
+                if slot is None:
+                    break  # retired mid-window: discard the tail tokens
+                tok = int(toks[slot_id, k])
+                slot.tokens.append(tok)
+                self.last_toks[slot_id] = tok
+                emitted.setdefault(slot.req_id, []).append(tok)
+                self._retire_check(slot_id, start_lens[slot_id] + k)
         return emitted
 
     def run(self) -> Dict[int, FinishedRequest]:

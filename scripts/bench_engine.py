@@ -22,23 +22,22 @@ jax.block_until_ready(params["wte"])
 params = gptj.quantize_lm_params(params)
 print("model ready", flush=True)
 
+WINDOW = int(os.environ.get("WINDOW", "8"))
 eng = LMServingEngine(cfg, params, max_batch=B, max_len=2048,
-                      eos_token=-1, prefill_bucket=64)
+                      eos_token=-1, prefill_bucket=64,
+                      decode_window=WINDOW)
 emb = jax.random.normal(jax.random.PRNGKey(1), (CTX, 4096),
                         jnp.bfloat16) * 0.02
-t0 = time.time()
-ids = [eng.submit(emb, max_new_tokens=NEW) for _ in range(B)]
-res = eng.run()
-dt = time.time() - t0
-total = sum(len(r.tokens) for r in res.values())
-print(f"[engine {KV} B={B} ctx={CTX}] first run (incl. compiles): "
-      f"{dt:.1f}s, {total} tokens", flush=True)
 
-# steady state: submit again (compiles cached)
-t0 = time.time()
-ids = [eng.submit(emb, max_new_tokens=NEW) for _ in range(B)]
-res = eng.run()
-dt = time.time() - t0
-total = sum(len(r.tokens) for r in res.values())
-print(f"[engine {KV} B={B} ctx={CTX}] steady: {dt:.2f}s -> "
-      f"{total/dt:.1f} tok/s aggregate", flush=True)
+def run_batch(label):
+    done_before = sum(len(r.tokens) for r in eng.finished.values())
+    t0 = time.time()
+    ids = [eng.submit(emb, max_new_tokens=NEW) for _ in range(B)]
+    eng.run()
+    dt = time.time() - t0
+    total = sum(len(r.tokens) for r in eng.finished.values()) - done_before
+    print(f"[engine {KV} B={B} ctx={CTX} w={WINDOW}] {label}: {dt:.2f}s, "
+          f"{total} tokens -> {total/dt:.1f} tok/s aggregate", flush=True)
+
+run_batch("first (incl. compiles)")
+run_batch("steady")

@@ -122,3 +122,18 @@ def test_engine_streaming_and_budget(lm):
     res = eng.finished[rid]
     assert res.tokens == seen
     assert len(res.tokens) <= 4
+
+
+def test_decode_window_invariance(lm):
+    """Greedy results are identical for any decode_window size."""
+    cfg, params = lm
+    outs = []
+    for window in (1, 3, 8):
+        eng = LMServingEngine(cfg, params, max_batch=2, max_len=128,
+                              eos_token=EOS, prefill_bucket=8,
+                              decode_window=window)
+        ids = [eng.submit(_prompt(50 + i, 5 + i, cfg.d_model),
+                          max_new_tokens=10) for i in range(3)]
+        res = eng.run()
+        outs.append([res[r].tokens for r in ids])
+    assert outs[0] == outs[1] == outs[2]
