@@ -108,11 +108,12 @@ def main():
 
     max_steps = 64
 
-    def bench_generate(params, prompt_embeds, label, reps=3):
+    def bench_generate(params, prompt_embeds, label, reps=3, cfg=None):
         """Median tokens/sec over full-length greedy decodes.  eos_token=-1
         disables the early-exit so all max_steps decode steps run (a
         random-init model would otherwise emit EOS immediately and fake a
         huge tokens/sec)."""
+        cfg = lm_cfg if cfg is None else cfg
         b = prompt_embeds.shape[0]
         # compiled executables pin their temp arenas on tunneled TPUs; free
         # the previous stage's arena before compiling this one
@@ -120,7 +121,7 @@ def main():
 
         def run(seed):
             toks, steps = generate_tokens(
-                lm_cfg, params, prompt_embeds, jax.random.PRNGKey(seed),
+                cfg, params, prompt_embeds, jax.random.PRNGKey(seed),
                 max_steps=max_steps, temperature=0.0, top_k=0, top_p=0.0,
                 eos_token=-1,
             )
@@ -160,13 +161,20 @@ def main():
     prompt_b8 = jnp.broadcast_to(prompt, (8, *prompt.shape[1:]))
     tps_int8_b8, _ = bench_generate(lm_params, prompt_b8, "int8 b=8")
 
-    # (d) long-context: 1984-token prompt + 64 decode steps (prefill incl.)
+    # (d) long-context: 1984-token prompt + 64 decode steps (prefill
+    # incl.), int8 KV cache (the measured-best long-context config:
+    # halves the decode cache stream)
+    import dataclasses
+
+    lm_cfg_kv8 = dataclasses.replace(lm_cfg, kv_cache_dtype="int8")
     prompt_long = jnp.concatenate(
         [jnp.zeros((1, 1984 - prompt.shape[1], prompt.shape[2]),
                    jnp.bfloat16), prompt], axis=1,
     )
-    tps_int8_long, _ = bench_generate(lm_params, prompt_long,
-                                      "int8 b=1 ctx=1984")
+    tps_int8_long, _ = bench_generate(
+        lm_params, prompt_long, "int8 b=1 ctx=1984 kv=int8",
+        cfg=lm_cfg_kv8,
+    )
 
     tps = tps_int8
     result = {
@@ -180,7 +188,7 @@ def main():
             "decode_tps_bf16_b8": round(tps_bf16_b8, 2),
             "decode_tps_int8_b1": round(tps_int8, 2),
             "decode_tps_int8_b8": round(tps_int8_b8, 2),
-            "decode_tps_int8_b1_ctx1984": round(tps_int8_long, 2),
+            "decode_tps_int8_b1_ctx1984_kvint8": round(tps_int8_long, 2),
             "caption_e2e_p50_s": round(t_int8 + t_vision_ms / 1e3, 3),
             "vision_p50_ms": round(t_vision_ms, 1),
             "prompt_tokens": int(prompt.shape[1]),

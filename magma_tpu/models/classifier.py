@@ -48,11 +48,13 @@ class MagmaClassifier(Magma):
         self.freeze_model = bool(cd.get("freeze_model", False))
 
         if init_weights:
-            k = jax.random.PRNGKey(hash(("class_head", 0)) % (2**31))
+            # zero-init head: untrained predictions are exactly uniform
+            # (the gradient through the features breaks symmetry on the
+            # first step).  Previously seeded via Python's hash(), which
+            # is salted per process and made init non-reproducible.
             d = self.lm_config.d_model
             self.params["class_head"] = {
-                "kernel": (jax.random.normal(k, (d, self.num_classes),
-                                             jnp.float32) * d ** -0.5),
+                "kernel": jnp.zeros((d, self.num_classes), jnp.float32),
                 "bias": jnp.zeros((self.num_classes,), jnp.float32),
             }
 

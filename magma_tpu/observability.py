@@ -113,3 +113,63 @@ def device_memory_stats() -> Dict[str, Dict[str, float]]:
         except Exception:
             pass
     return out
+
+
+def summarize_trace(logdir: str, top: int = 20) -> List[Dict[str, object]]:
+    """Aggregate a ``jax.profiler.trace`` capture into per-op totals.
+
+    Parses the xplane protobuf directly (the tensorboard profile plugin's
+    converter is version-locked to its bundled tensorflow) and returns the
+    ``top`` ops of the device plane by total duration:
+    ``[{"line", "op", "total_ms", "count"}, ...]``, sorted descending.
+
+    Use with :func:`profile_trace`::
+
+        with profile_trace("/tmp/t"):
+            step()
+        for row in summarize_trace("/tmp/t")[:10]:
+            print(row)
+    """
+    import glob as _glob
+    import os as _os
+
+    # the C++ protobuf rejects mixed-version generated code; the pure-
+    # python implementation parses any version
+    _os.environ.setdefault(
+        "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python"
+    )
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(
+        _glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+
+    agg: Dict[tuple, float] = {}
+    cnt: Dict[tuple, int] = {}
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        device_planes = [
+            p for p in xs.planes if "device" in p.name.lower()
+        ]
+        # the CPU backend records compute under /host:CPU instead
+        planes = device_planes or [
+            p for p in xs.planes if p.name == "/host:CPU"
+        ]
+        for plane in planes:
+            for line in plane.lines:
+                for ev in line.events:
+                    name = plane.event_metadata[ev.metadata_id].name
+                    key = (plane.name, line.name, name)
+                    agg[key] = agg.get(key, 0.0) + ev.duration_ps / 1e9
+                    cnt[key] = cnt.get(key, 0) + 1
+    rows = [
+        {"plane": k[0], "line": k[1], "op": k[2],
+         "total_ms": round(v, 4), "count": cnt[k]}
+        for k, v in agg.items()
+    ]
+    rows.sort(key=lambda r: -r["total_ms"])
+    return rows[:top]

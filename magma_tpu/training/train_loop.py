@@ -180,10 +180,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_step(self, images: np.ndarray, captions: np.ndarray,
-                   rng: Optional[jax.Array] = None) -> float:
+                   rng: Optional[jax.Array] = None, sync: bool = True):
         """One optimizer step over a global batch laid out as
         (ga, micro_batch, ...).  Returns the mean loss (already globally
-        reduced by the sharded computation)."""
+        reduced by the sharded computation).
+
+        ``sync=False`` returns the loss as a device scalar without
+        blocking: the host races ahead and queues the next step while the
+        device runs this one.  Blocking every step costs 30-50 ms of
+        dead device time on tunneled transports (measured on the 6B QLoRA
+        step: 125 -> ~90 ms/step); convert at logging boundaries instead
+        (``float(loss)``)."""
         ga = self.config.gradient_accumulation_steps
         if images.ndim == 4:  # accept flat (B, ...) too
             images = images.reshape(ga, -1, *images.shape[1:])
@@ -198,7 +205,7 @@ class Trainer:
             jnp.int32(self.global_step),
         )
         self.global_step += 1
-        return float(loss)
+        return float(loss) if sync else loss
 
     def eval_step(self, eval_loader, eval_steps: Optional[int] = None) -> float:
         """Mean loss over ``eval_steps`` batches (train_loop.py:48-60)."""

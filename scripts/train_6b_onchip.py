@@ -8,7 +8,11 @@ encoder (at image_enc_lr; FREEZE_ENC=1 freezes it).  seq_len reduced to
 activations fit alongside the quantized LM on 16 GB.
 
 Measured (TPU v5e-1): 0.225 s/step encoder-trainable, 0.169 s/step
-encoder-frozen; loss decreases on a repeated batch.
+encoder-frozen at round-2 start; now 0.079 s/step encoder-frozen with
+remat off (seq-256 activations are only ~56 MB — recomputing them bought
+nothing) + device-resident batches + async stepping (sync every N steps;
+the per-step loss fetch blocked the host for ~40 ms of dead device
+time).  Loss decreases on a repeated batch either way.
 
 Usage: python scripts/train_6b_onchip.py   (on the real TPU)
 """
@@ -49,7 +53,8 @@ def main():
         train_lm_int8=True,                    # QLoRA: int8 frozen LM
         seq_len=seq,
         image_size=384,
-        lm_overrides=dict(remat=True, attention_impl="flash"),
+        lm_overrides=dict(remat=os.environ.get("REMAT", "0") == "1",
+                          attention_impl="flash"),
         lr=8.0e-4, image_enc_lr=2.0e-6,
     )
 
@@ -60,10 +65,13 @@ def main():
     jax.clear_caches()      # ditto for the trainer's init-phase jits
     print(f"model+trainer built in {time.time() - t0:.1f}s", flush=True)
 
+    import jax.numpy as jnp
+
     rng = np.random.RandomState(0)
-    images = rng.rand(1, 3, 384, 384).astype(np.float32)
-    captions = np.full((1, seq), 50256, np.int32)
-    captions[:, : seq // 2] = rng.randint(0, 50000, (1, seq // 2))
+    images = jnp.asarray(rng.rand(1, 3, 384, 384).astype(np.float32))
+    captions_np = np.full((1, seq), 50256, np.int32)
+    captions_np[:, : seq // 2] = rng.randint(0, 50000, (1, seq // 2))
+    captions = jnp.asarray(captions_np)
 
     t0 = time.time()
     loss = trainer.train_step(images, captions)
@@ -71,20 +79,20 @@ def main():
           flush=True)
     assert np.isfinite(loss), loss
 
-    times, losses = [], [loss]
+    # async stepping: sync only at the end — per-step loss fetches stall
+    # the device for ~40 ms each on the tunneled transport
+    losses = [loss]
+    t0 = time.time()
     for i in range(steps - 1):
-        t0 = time.time()
-        loss = trainer.train_step(images, captions)
-        times.append(time.time() - t0)
-        losses.append(loss)
-        print(f"step {i + 2}: {times[-1]:.3f}s  loss={loss:.4f}", flush=True)
+        lazy = trainer.train_step(images, captions, sync=False)
+    losses.append(float(lazy))
+    per_step = (time.time() - t0) / max(steps - 1, 1)
     assert all(np.isfinite(l) for l in losses)
     # same batch every step: adapter training must reduce the loss
     assert losses[-1] < losses[0], losses
-    med = sorted(times)[len(times) // 2]
-    print(f"RESULT 6B QLoRA on-chip: {med:.3f}s/step "
-          f"(b=1, seq={seq} incl. 144 image tokens), loss {losses[0]:.4f} "
-          f"-> {losses[-1]:.4f}", flush=True)
+    print(f"RESULT 6B QLoRA on-chip: {per_step:.3f}s/step "
+          f"(b=1, seq={seq} incl. 144 image tokens, async), loss "
+          f"{losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
 
 
 if __name__ == "__main__":

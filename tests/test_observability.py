@@ -79,3 +79,28 @@ def test_metric_logger_image_grid(tmp_path):
     records = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     rec = [r for r in records if "inference/images" in r]
     assert rec and rec[0]["inference/images/caption"] == "cap text"
+
+
+def test_summarize_trace_cpu(tmp_path):
+    """profile_trace + summarize_trace round-trip on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from magma_tpu.observability import profile_trace, summarize_trace
+
+    logdir = str(tmp_path / "trace")
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((256, 256))
+    float(f(x))  # compile outside the trace
+    with profile_trace(logdir):
+        for _ in range(3):
+            float(f(x))
+    try:
+        rows = summarize_trace(logdir, top=5)
+    except ImportError:
+        pytest.skip("tensorflow xplane protos unavailable")
+    assert rows and all(
+        {"plane", "line", "op", "total_ms", "count"} <= set(r) for r in rows
+    )
+    assert rows[0]["total_ms"] >= rows[-1]["total_ms"]

@@ -183,11 +183,15 @@ def main():
     while global_step < config.train_steps:
         t0 = time.time()
         images, captions = next(train_loader)
-        loss = trainer.train_step(images, captions)
+        # async: the device runs this step while the host fetches/queues
+        # the next batch; the loss only syncs at logging boundaries
+        loss = trainer.train_step(images, captions, sync=False)
         global_step = trainer.global_step
         step_time = time.time() - t0
 
         if global_step % config.log_every == 0:
+            loss = float(loss)  # device sync: once per log interval
+            step_time = time.time() - t0
             print_main(
                 f"step {global_step} loss {loss:.4f} ({step_time:.2f}s/step)"
             )
