@@ -154,14 +154,29 @@ def main():
     prompt_b = jnp.broadcast_to(prompt, (batch, *prompt.shape[1:]))
     tps_bf16_b8, _ = bench_generate(lm_params, prompt_b, f"bf16 b={batch}")
 
-    # (c) int8 weight-only serving mode (fused dequant Pallas kernel)
-    log("quantizing to int8...")
+    # (c) int4 weight-only serving mode (nibble-packed kernel, int8 head).
+    # Runs before int8 because each quantizer consumes the bf16 originals;
+    # the LM re-initializes from the same PRNG key for the int8 stages.
+    log("quantizing to int4...")
+    lm_params = gptj.quantize_lm_params_int4(lm_params)
+    tps_int4, _ = bench_generate(lm_params, prompt, "int4 b=1")
+    prompt_b8 = jnp.broadcast_to(prompt, (8, *prompt.shape[1:]))
+    tps_int4_b8, _ = bench_generate(lm_params, prompt_b8, "int4 b=8")
+    del lm_params
+    jax.clear_caches()
+
+    # (d) int8 weight-only serving mode (fused dequant Pallas kernel) —
+    # the quality-conservative default and the headline metric
+    log("re-initializing LM + quantizing to int8...")
+    lm_params = jax.jit(lambda k: gptj.init_params(k, lm_cfg))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(lm_params["wte"])
     lm_params = gptj.quantize_lm_params(lm_params)  # frees bf16 originals
     tps_int8, t_int8 = bench_generate(lm_params, prompt, "int8 b=1")
-    prompt_b8 = jnp.broadcast_to(prompt, (8, *prompt.shape[1:]))
     tps_int8_b8, _ = bench_generate(lm_params, prompt_b8, "int8 b=8")
 
-    # (d) long-context: 1984-token prompt + 64 decode steps (prefill
+    # (e) long-context: 1984-token prompt + 64 decode steps (prefill
     # incl.), int8 KV cache (the measured-best long-context config:
     # halves the decode cache stream)
     import dataclasses
@@ -182,12 +197,15 @@ def main():
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / A100_GPTJ_DECODE_TOKS, 3),
-        "model": "gptj-6b+rn50x16 (int8 weight-only serving)",
+        "model": "gptj-6b+rn50x16 (int8 weight-only serving; int4 mode "
+                 "benched in detail)",
         "detail": {
             "decode_tps_bf16_b1": round(tps_bf16, 2),
             "decode_tps_bf16_b8": round(tps_bf16_b8, 2),
             "decode_tps_int8_b1": round(tps_int8, 2),
             "decode_tps_int8_b8": round(tps_int8_b8, 2),
+            "decode_tps_int4_b1": round(tps_int4, 2),
+            "decode_tps_int4_b8": round(tps_int4_b8, 2),
             "decode_tps_int8_b1_ctx1984_kvint8": round(tps_int8_long, 2),
             "caption_e2e_p50_s": round(t_int8 + t_vision_ms / 1e3, 3),
             "vision_p50_ms": round(t_vision_ms, 1),

@@ -344,19 +344,27 @@ class Magma:
         )
         return loss, logits
 
-    def quantize_for_serving(self) -> "Magma":
-        """Quantize the frozen LM to int8 weight-only for serving (see
-        ops/quant.py): ~1.7x single-stream decode throughput, ~half the
-        HBM footprint, argmax-identical next-token predictions in
-        practice.  Irreversible on this instance (originals are freed);
-        training requires the full-precision parameters.
+    def quantize_for_serving(self, bits: int = 8) -> "Magma":
+        """Quantize the frozen LM weight-only for serving (see
+        ops/quant.py).  Irreversible on this instance (originals are
+        freed); training requires the full-precision parameters.
 
-        For batched-throughput serving (batch >= 8) bf16 can outperform
-        int8 on v5e (MXU-bound regime) — benchmark both with bench.py.
+        ``bits=8``: ~1.7x single-stream decode, half the HBM footprint,
+        argmax-identical next-token predictions in practice.
+        ``bits=4``: nibble-packed blocks with 256-row group scales (the
+        head stays int8) — measured 123 vs 97 tok/s single-stream on the
+        6B flagship, but carries real quantization noise (~1-2% relative
+        logit error): validate task metrics before deploying.
         """
-        from magma_tpu.models.gptj import quantize_lm_params
+        from magma_tpu.models.gptj import (quantize_lm_params,
+                                           quantize_lm_params_int4)
 
-        self.params["lm"] = quantize_lm_params(self.params["lm"])
+        if bits == 8:
+            self.params["lm"] = quantize_lm_params(self.params["lm"])
+        elif bits == 4:
+            self.params["lm"] = quantize_lm_params_int4(self.params["lm"])
+        else:
+            raise ValueError(f"bits must be 8 or 4, got {bits}")
         return self
 
     def pack_for_serving(self) -> "Magma":

@@ -368,3 +368,152 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scales: jnp.ndarray,
     out = _plain_mm(x2, wq, scales)
     out = out.reshape(*lead, wq.shape[1])
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only (nibble-packed) — serving path
+# ---------------------------------------------------------------------------
+
+INT4_GROUP = 256  # input rows per quantization group (= the kernel's bkp)
+
+
+def quantize_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., K, N) weights -> {"q4": packed int8 (..., K/2, N),
+    "s4": f32 (..., K/INT4_GROUP, N) per-(group, channel) scales}.
+
+    Symmetric 4-bit with group-wise scales (256 input rows per group —
+    per-channel-only scales measurably hurt at 4 bits).  Packing pairs row
+    ``r`` of the FIRST half of K (low nibble) with row ``r + K/2`` of the
+    second half (high nibble): a kernel block of packed rows then maps to
+    two contiguous original-row ranges, so no interleaving is needed on
+    either the weight or the activation side.
+    """
+    w = w.astype(jnp.float32)
+    K = w.shape[-2]
+    # small dims (tests) fall back to two groups; the Pallas kernel only
+    # engages when the group size is exactly INT4_GROUP
+    group = INT4_GROUP if K % (2 * INT4_GROUP) == 0 else K // 2
+    G = K // group
+    wg = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)   # (..., G, 1, N)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int32)
+    q = q.reshape(*w.shape)
+    lo, hi = q[..., : K // 2, :], q[..., K // 2:, :]
+    packed = ((hi & 0xF) << 4 | (lo & 0xF)).astype(jnp.int8)
+    return {"q4": packed, "s4": scale[..., 0, :]}
+
+
+def dequantize_int4(q4: jnp.ndarray, s4: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`quantize_int4` -> f32 (..., K, N)."""
+    p32 = q4.astype(jnp.int32)
+    lo = (p32 << 28) >> 28
+    hi = (p32 << 24) >> 28
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    K, N = q.shape[-2], q.shape[-1]
+    G = s4.shape[-2]
+    qg = q.reshape(*q.shape[:-2], G, K // G, N)
+    return (qg * s4[..., :, None, :]).reshape(*q.shape)
+
+
+def _int4_matmul_stacked_kernel(idx_ref, xlo_ref, xhi_ref, w_ref,
+                                slo_ref, shi_ref, o_ref, acc_ref, *, n_k):
+    """Nibble-packed int4 tile: one (bkp, bn) int8 block carries 2*bkp
+    original weight rows.  Unpack on the VPU (sign-extending shifts),
+    dequantize by scaling the two group dot-partials — the MXU sees bf16,
+    HBM only ever sees 0.5 bytes/weight."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = w_ref[0].astype(jnp.int32)               # (bkp, bn)
+    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
+    hi = ((p32 << 24) >> 28).astype(jnp.bfloat16)
+    plo = jax.lax.dot(
+        xlo_ref[...].astype(jnp.bfloat16), lo,
+        preferred_element_type=jnp.float32,
+    )
+    phi = jax.lax.dot(
+        xhi_ref[...].astype(jnp.bfloat16), hi,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += plo * slo_ref[0] + phi * shi_ref[0]
+
+    @pl.when(kb == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...]
+
+
+def _int4_matmul_stacked_2d(x, q4, s4, layer_idx):
+    """(M, K) @ int4-packed (L, K/2, N)[layer_idx] -> (M, N) f32."""
+    m, k = x.shape
+    L, kp, n = q4.shape
+    assert k == 2 * kp, (x.shape, q4.shape)
+    G = s4.shape[1]
+
+    x, bm, m = _pad_rows(x)
+    mp = x.shape[0]
+    bkp = INT4_GROUP                   # packed rows per block = one group
+    if kp % bkp:
+        raise NotImplementedError(f"packed K {kp} % {bkp}")
+    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
+    n_k = kp // bkp                    # also the lo-half group count
+
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int4_matmul_stacked_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // bm, n // bn, n_k),
+            in_specs=[
+                # x twice: columns of the lo half, then of the hi half
+                pl.BlockSpec((bm, bkp), lambda i, j, kb, idx_ref: (i, kb)),
+                pl.BlockSpec((bm, bkp),
+                             lambda i, j, kb, idx_ref: (i, n_k + kb)),
+                pl.BlockSpec(
+                    (1, bkp, bn),
+                    lambda i, j, kb, idx_ref: (idx_ref[0], kb, j),
+                ),
+                # group scales for the lo and hi blocks; the (L, G, N)
+                # array is passed as (L*G, 1, N) so the block's middle dim
+                # equals the array dim (Pallas tiling rule)
+                pl.BlockSpec(
+                    (1, 1, bn),
+                    lambda i, j, kb, idx_ref: (idx_ref[0] * G + kb, 0, j),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bn),
+                    lambda i, j, kb, idx_ref:
+                        (idx_ref[0] * G + G // 2 + kb, 0, j),
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb, idx_ref: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(idx, x, x, q4, s4.reshape(L * G, 1, n), s4.reshape(L * G, 1, n))
+    return out if mp == m else out[:m]
+
+
+def int4_matmul_stacked(x, q4, s4, layer_idx, out_dtype=None):
+    """x (..., K) @ layer ``layer_idx`` of stacked int4-packed weights
+    (L, K/2, N) with (L, K/256, N) group scales.  Serving-only (not
+    differentiable — int4 is a deployment format, not a training one)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    group = 2 * q4.shape[-2] // s4.shape[-2]
+    if jax.default_backend() == "tpu" and group == INT4_GROUP:
+        out = _int4_matmul_stacked_2d(x2, q4, s4, jnp.asarray(layer_idx))
+    else:
+        w = dequantize_int4(
+            jnp.take(q4, layer_idx, axis=0), jnp.take(s4, layer_idx, axis=0)
+        )
+        out = jnp.dot(x2.astype(jnp.float32), w)
+    out = out.reshape(*lead, q4.shape[-1])
+    return out.astype(out_dtype) if out_dtype is not None else out

@@ -104,3 +104,26 @@ def test_summarize_trace_cpu(tmp_path):
         {"plane", "line", "op", "total_ms", "count"} <= set(r) for r in rows
     )
     assert rows[0]["total_ms"] >= rows[-1]["total_ms"]
+
+
+def test_quantize_for_serving_int4_facade():
+    from magma_tpu.config import MultimodalConfig
+    from magma_tpu.models.magma import Magma
+
+    cfg = MultimodalConfig(
+        batch_size=1, train_steps=1, encoder_name="clip_resnet_large",
+        adapter_config={"mlp": {"adapter_type": "normal",
+                                "downsample_factor": 4}},
+        lm_overrides=dict(n_layers=2, n_heads=4, d_model=128, d_ff=512,
+                          rotary_dim=16, max_seq_len=128,
+                          attention_impl="xla", remat=False),
+        encoder_overrides=dict(width=16, blocks=(1, 1, 1, 1),
+                               input_resolution=32),
+        image_size=32,
+    )
+    m = Magma(cfg)
+    emb = m.embed([np.zeros((1, 3, 32, 32), np.float32)])
+    m.quantize_for_serving(bits=4)
+    assert "q4" in m.params["lm"]["blocks"]["attn"]["qkv"]
+    toks = m.generate(emb, max_steps=3, temperature=0.0, decode=False)
+    assert np.asarray(toks).shape == (1, 3)
