@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from magma_tpu.models.adapters import AdapterSpec, apply_adapter, init_adapter
-from magma_tpu.ops.attention import causal_attention, decode_attention
+from magma_tpu.ops.attention import (causal_attention, decode_attention,
+                                     history_attention)
 from magma_tpu.ops.rotary import apply_rotary, rotary_sincos
 from magma_tpu.utils import round_up
 
@@ -261,12 +262,20 @@ def quantize_lm_params(params: Dict) -> Dict:
 
     attn = params["blocks"]["attn"]
     # fuse q/k/v into one (L, D, 3D) matrix: one kernel launch and one
-    # larger HBM stream per layer instead of three
+    # larger HBM stream per layer instead of three.  Quantize the three
+    # pieces FIRST and concatenate int8 (per-channel scales concatenate
+    # exactly): concatenating the bf16 sources would transiently hold
+    # ~3.9 GB next to the full-precision tree and OOM a busy chip.
+    pieces = [
+        jax.jit(q_stacked)(attn.pop(k2)) for k2 in ("q", "k", "v")
+    ]
     attn["qkv"] = jax.jit(
-        lambda q, k, v: jax.lax.map(
-            quantize_int8, jnp.concatenate([q, k, v], axis=-1)
-        )
-    )(attn.pop("q"), attn.pop("k"), attn.pop("v"))
+        lambda ps: {
+            "q": jnp.concatenate([p["q"] for p in ps], axis=-1),
+            "s": jnp.concatenate([p["s"] for p in ps], axis=-1),
+        }
+    )(pieces)
+    del pieces
     attn["o"] = jax.jit(q_stacked)(attn["o"])
     mlp = params["blocks"]["mlp"]
     for k in ("fc_in", "fc_out"):
@@ -309,11 +318,19 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     for k in ("fc_in", "fc_out"):
         mlp[k]["kernel"] = unwrap(mlp[k]["kernel"])
 
+    # quantize q/k/v separately, then concatenate the int4 payloads —
+    # valid because packing pairs rows along K, and group scales are per
+    # (group, channel); avoids a ~3.9 GB bf16 concat transient
+    pieces = [
+        jax.jit(q4_stacked)(attn.pop(k2)) for k2 in ("q", "k", "v")
+    ]
     attn["qkv"] = jax.jit(
-        lambda q, k, v: jax.lax.map(
-            quantize_int4, jnp.concatenate([q, k, v], axis=-1)
-        )
-    )(attn.pop("q"), attn.pop("k"), attn.pop("v"))
+        lambda ps: {
+            "q4": jnp.concatenate([p["q4"] for p in ps], axis=-1),
+            "s4": jnp.concatenate([p["s4"] for p in ps], axis=-1),
+        }
+    )(pieces)
+    del pieces
     attn["o"] = jax.jit(q4_stacked)(attn["o"])
     for k in ("fc_in", "fc_out"):
         mlp[k]["kernel"] = jax.jit(q4_stacked)(mlp[k]["kernel"])
@@ -364,10 +381,9 @@ def _layer_norm(x: jnp.ndarray, p: Dict, eps: float, out_dtype) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
-def _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v, scale):
-    """XLA decode-attention path: dynamic per-layer cache slice (fused into
-    the attention einsum), with int8 dequantization when the cache carries
-    scales."""
+def _layer_cache(cfg, cache_d, layer_idx):
+    """One layer's (k, v) cache slice in compute dtype, dequantized when
+    the cache carries int8 scales."""
     cdt = cfg.compute_dtype
 
     def layer_of(t):
@@ -381,9 +397,15 @@ def _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v, scale):
         v_l = v_l.astype(cdt) * layer_of(
             cache_d["v_scale"]
         )[..., :1, None].astype(cdt)
+    return k_l.astype(cdt), v_l.astype(cdt)
+
+
+def _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v, scale):
+    """XLA decode-attention path: dynamic per-layer cache slice (fused into
+    the attention einsum)."""
+    k_l, v_l = _layer_cache(cfg, cache_d, layer_idx)
     return decode_attention(
-        q, k_l.astype(cdt), v_l.astype(cdt), idx, scale=scale,
-        self_kv=(kk, v),
+        q, k_l, v_l, idx, scale=scale, self_kv=(kk, v),
     )
 
 
@@ -396,6 +418,7 @@ def _block(
     kv_len: Optional[jnp.ndarray],
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_index: Optional[jnp.ndarray],
+    read_history: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One GPT-J block: parallel attention + FFN off a single layernorm.
 
@@ -438,7 +461,14 @@ def _block(
         cache_d, layer_idx = cache_kv
         idx = cache_index.astype(jnp.int32)
         new_kv = (kk.astype(cdt), v.astype(cdt))
-        if s > 1:
+        if s > 1 and read_history:
+            # chunked prefill: attend to the cache history [0, idx) AND
+            # causally within this chunk (serving/engine.py)
+            k_l, v_l = _layer_cache(cfg, cache_d, layer_idx)
+            attn = history_attention(
+                q, k_l, v_l, idx, kk, v, scale=scale, kv_len=kv_len,
+            )
+        elif s > 1:
             # prefill: keys are the just-computed prompt positions
             attn = causal_attention(
                 q, kk, v, scale=scale, impl=cfg.attention_impl,
@@ -526,15 +556,17 @@ def _run_blocks(
     cache: Optional[Dict] = None,
     cache_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    read_history: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
 
     if "qkv" in blocks["attn"] or isinstance(
         blocks["attn"].get("q"), dict
-    ):  # int8-quantized weights
+    ):  # int8/int4-quantized weights
         return _run_blocks_quantized(
             cfg, blocks, x, sin, cos, kv_len=kv_len, cache=cache,
             cache_index=cache_index, remat=remat,
+            read_history=read_history,
         )
 
     if cache is None:
@@ -552,7 +584,7 @@ def _run_blocks(
         bp, idx = layer_in
         y, new_kv = _block(
             cfg, bp, carry, sin, cos, kv_len,
-            (cache, idx), cache_index,
+            (cache, idx), cache_index, read_history=read_history,
         )
         return y, new_kv
 
@@ -572,6 +604,7 @@ def _run_blocks_quantized(
     cache: Optional[Dict] = None,
     cache_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    read_history: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Block scan for int8-quantized weights.  The big stacked int8 arrays
     stay *outside* the scan (closure constants); the body passes the layer
@@ -627,7 +660,8 @@ def _run_blocks_quantized(
     def body(carry, xs):
         small_l, idx = xs
         y, new_kv = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
-                           kv_len, (cache, idx), cache_index)
+                           kv_len, (cache, idx), cache_index,
+                           read_history=read_history)
         return y, new_kv
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (small, jnp.arange(L)))
@@ -645,6 +679,7 @@ def forward(
     cache_index: Optional[jnp.ndarray] = None,
     remat: Optional[bool] = None,
     return_hidden: bool = False,
+    read_history: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Full LM forward from embeddings.  Returns (logits fp32, new cache),
     or (hidden post-ln_f, new cache) with ``return_hidden=True`` — used by
@@ -675,6 +710,7 @@ def forward(
     x, new_cache = _run_blocks(
         cfg, params["blocks"], x, sin, cos,
         kv_len=kv_len, cache=cache, cache_index=cache_index, remat=remat,
+        read_history=read_history,
     )
 
     x = _layer_norm(x, params["ln_f"], cfg.ln_eps, cdt)

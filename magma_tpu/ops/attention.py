@@ -98,6 +98,64 @@ def causal_attention(
     )
 
 
+def history_attention(
+    q: jnp.ndarray,        # (b, s, h, hd) fresh queries
+    k_cache: jnp.ndarray,  # (b, max, h, hd) one layer's cache
+    v_cache: jnp.ndarray,
+    hist_len,              # scalar or (b,): valid history positions
+    k_self: jnp.ndarray,   # (b, s, h, hd) this chunk's keys/values
+    v_self: jnp.ndarray,
+    *,
+    scale: float,
+    kv_len=None,           # optional (b,) true fresh lengths (padding mask)
+) -> jnp.ndarray:
+    """Chunked-prefill attention: queries attend to the cache history
+    [0, hist_len) AND causally to their own chunk.  Generalizes
+    ``decode_attention`` from s == 1 to whole chunks — the engine's
+    chunked prefill interleaves these with decode windows so a long
+    prompt never stalls the other slots for its full prefill time.
+
+    One fused softmax over (max_len + s) key columns; the (b, h, s,
+    max+s) scores tile is fine at chunk sizes (s <= 512)."""
+    b, s, h, hd = q.shape
+    max_len = k_cache.shape[1]
+    hist_len = jnp.asarray(hist_len)
+    if hist_len.ndim == 0:
+        hist_len = jnp.broadcast_to(hist_len, (b,))
+
+    s_hist = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
+        < hist_len[:, None]
+    )[:, None, None, :]
+    s_hist = jnp.where(valid, s_hist, NEG_INF)
+
+    s_self = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_self.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    mask = _causal_mask(s, s, 0)[None, None]
+    if kv_len is not None:
+        klmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, s), 1) < kv_len[:, None]
+        )[:, None, None, :]
+        mask = jnp.logical_and(mask, klmask)
+    s_self = jnp.where(mask, s_self, NEG_INF)
+
+    scores = jnp.concatenate([s_hist, s_self], axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights[..., :max_len], v_cache
+    ) + jnp.einsum(
+        "bhqk,bkhd->bqhd", weights[..., max_len:],
+        v_self.astype(v_cache.dtype),
+    )
+    return out.astype(q.dtype)
+
+
 def decode_attention(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

@@ -92,6 +92,48 @@ def _prefill(cfg, params, cache, slot, embeds, prompt_len, rng, *,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg",),
+    donate_argnames=("scratch",),
+)
+def _prefill_chunk(cfg, params, scratch, emb_chunk, offset, true_len):
+    """One chunk of an incremental prefill into a 1-row scratch cache:
+    the chunk attends to the already-written history [0, offset) AND
+    causally to itself (gptj read_history).  Returns (scratch, hidden of
+    the chunk's last true position)."""
+    hidden, scratch = gptj.forward(
+        cfg, params, emb_chunk, cache=scratch, cache_index=offset,
+        kv_len=jnp.broadcast_to(true_len, (1,)), remat=False,
+        return_hidden=True, read_history=True,
+    )
+    last_h = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
+    return scratch, last_h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "top_k", "top_p", "top_p_mode"),
+    donate_argnames=("cache",),
+)
+def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
+                  temperature, top_k, top_p, top_p_mode):
+    """Scatter a finished scratch prefill into the engine cache at
+    ``slot`` and sample the request's first token."""
+    cache = {
+        name: jax.lax.dynamic_update_slice(
+            cache[name], scratch[name],
+            (0, slot) + (0,) * (cache[name].ndim - 2),
+        )
+        for name in cache
+    }
+    logits = gptj.lm_head(cfg, params, last_h)[:, 0]
+    tok = sample_token(
+        rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
+        vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
+    )
+    return cache, tok[0]
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "temperature", "top_k", "top_p",
                      "top_p_mode", "eos_token"),
@@ -154,6 +196,7 @@ class LMServingEngine:
         top_p_mode: str = "reference",
         prefill_bucket: int = 64,
         decode_window: int = 4,
+        prefill_chunk: int = 0,
         seed: int = 0,
     ):
         self.cfg = cfg
@@ -169,6 +212,13 @@ class LMServingEngine:
         # tokens decoded per dispatch: amortizes host round trips; new
         # requests are admitted at window boundaries
         self.decode_window = max(1, int(decode_window))
+        # >0: long prompts prefill incrementally, prefill_chunk tokens
+        # between decode windows (gptj read_history attention) — a long
+        # prompt no longer stalls every other slot for its whole prefill.
+        # One chunked prefill is in flight at a time (bounds the scratch
+        # cache to one extra row).
+        self.prefill_chunk = int(prefill_chunk)
+        self._inflight = None  # (slot_id, req_id, embeds, s, off, scratch, max_new)
         self._rng = jax.random.PRNGKey(seed)
         self._step_count = 0
         self._next_id = 0
@@ -198,19 +248,71 @@ class LMServingEngine:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.pending) or any(s is not None for s in self.slots)
+        return (bool(self.pending) or self._inflight is not None
+                or any(s is not None for s in self.slots))
 
     def _fold_rng(self):
         self._step_count += 1
         return jax.random.fold_in(self._rng, self._step_count)
 
+    def _install(self, slot_id, req_id, s, last_h, max_new, emitted):
+        """Finish a prefill: scatter into the engine cache, record the
+        first token, mark the slot live."""
+        scratch = self._inflight[5] if self._inflight else None
+        self.cache, tok = _install_slot(
+            self.cfg, self.params, self.cache, scratch, jnp.int32(slot_id),
+            last_h, self._fold_rng(), **self.sampling,
+        )
+        tok = int(tok)
+        self.slots[slot_id] = _Slot(req_id, [tok], max_new)
+        self.cur_lens[slot_id] = s
+        self.last_toks[slot_id] = tok
+        emitted.setdefault(req_id, []).append(tok)
+        self._maybe_retire(slot_id)
+
+    def _advance_inflight(self, emitted):
+        """Run ONE chunk of the in-flight incremental prefill."""
+        slot_id, req_id, embeds, s, off, scratch, max_new = self._inflight
+        C = self.prefill_chunk
+        chunk = embeds[:, off:off + C]
+        true_len = chunk.shape[1]
+        if true_len < C:
+            chunk = jnp.pad(chunk, ((0, 0), (0, C - true_len), (0, 0)))
+        scratch, last_h = _prefill_chunk(
+            self.cfg, self.params, scratch, chunk, jnp.int32(off),
+            jnp.int32(true_len),
+        )
+        off += true_len
+        if off >= s:
+            self._inflight = (slot_id, req_id, embeds, s, off, scratch,
+                              max_new)
+            self._install(slot_id, req_id, s, last_h, max_new, emitted)
+            self._inflight = None
+        else:
+            self._inflight = (slot_id, req_id, embeds, s, off, scratch,
+                              max_new)
+
     def _admit(self, emitted):
         """Move pending requests into free slots (prefill each)."""
+        if self._inflight is not None:
+            self._advance_inflight(emitted)
         for slot_id in range(self.max_batch):
             if not self.pending or self.slots[slot_id] is not None:
                 continue
+            if self._inflight is not None and self._inflight[0] == slot_id:
+                continue
             req_id, embeds, max_new = self.pending.popleft()
             s = embeds.shape[1]
+            if self.prefill_chunk and s > self.prefill_chunk:
+                # incremental: one chunk now, the rest between windows
+                if self._inflight is not None:
+                    self.pending.appendleft((req_id, embeds, max_new))
+                    continue
+                scratch = gptj.init_kv_cache(self.cfg, 1, self.max_len)
+                self._inflight = (slot_id, req_id, embeds, s, 0, scratch,
+                                  max_new)
+                self._advance_inflight(emitted)
+                continue
             pad = (-s) % self.prefill_bucket
             if pad:
                 embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))

@@ -117,3 +117,50 @@ def test_vocab_padding():
     assert cfg.padded_vocab_size >= cfg.vocab_size
     mask = gptj.logits_mask(cfg)
     assert int(mask.sum()) == cfg.vocab_size
+
+
+def test_chunked_prefill_matches_monolithic(tiny_lm_config):
+    """Prefilling a prompt in chunks with read_history=True produces the
+    same cache and the same next-token logits as one-shot prefill."""
+    import numpy as np
+
+    cfg = tiny_lm_config
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    S, C = 24, 8  # prompt length, chunk size
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.d_model)) * 0.02
+
+    mono = gptj.init_kv_cache(cfg, 1, 32)
+    h_mono, mono = gptj.forward(cfg, params, emb, cache=mono,
+                                cache_index=jnp.int32(0),
+                                kv_len=jnp.full((1,), S, jnp.int32),
+                                return_hidden=True)
+
+    chunked = gptj.init_kv_cache(cfg, 1, 32)
+    for off in range(0, S, C):
+        h_chunk, chunked = gptj.forward(
+            cfg, params, emb[:, off:off + C], cache=chunked,
+            cache_index=jnp.int32(off),
+            kv_len=jnp.full((1,), C, jnp.int32),
+            return_hidden=True, read_history=True,
+        )
+
+    for name in mono:
+        np.testing.assert_allclose(
+            np.asarray(mono[name][:, :, :S], np.float32),
+            np.asarray(chunked[name][:, :, :S], np.float32),
+            atol=2e-2, rtol=0, err_msg=name,
+        )
+    # last hidden row drives the first sampled token: must agree closely
+    np.testing.assert_allclose(
+        np.asarray(h_mono[:, -1], np.float32),
+        np.asarray(h_chunk[:, -1], np.float32), atol=3e-2, rtol=0,
+    )
+
+    # a decode step from either cache gives matching logits
+    step = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.d_model)) * 0.02
+    l1, _ = gptj.forward(cfg, params, step, cache=mono,
+                         cache_index=jnp.int32(S))
+    l2, _ = gptj.forward(cfg, params, step, cache=chunked,
+                         cache_index=jnp.int32(S))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               atol=5e-2, rtol=0)

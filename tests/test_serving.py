@@ -137,3 +137,26 @@ def test_decode_window_invariance(lm):
         res = eng.run()
         outs.append([res[r].tokens for r in ids])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_chunked_prefill_engine_matches_monolithic(lm):
+    """prefill_chunk > 0 gives identical greedy results to monolithic
+    prefill, including while other slots are decoding."""
+    cfg, params = lm
+    outs = []
+    for chunk in (0, 8):
+        eng = LMServingEngine(cfg, params, max_batch=2, max_len=128,
+                              eos_token=EOS, prefill_bucket=8,
+                              decode_window=2, prefill_chunk=chunk)
+        a = eng.submit(_prompt(60, 6, cfg.d_model), max_new_tokens=10)
+        eng.step()  # a is decoding...
+        b = eng.submit(_prompt(61, 29, cfg.d_model), max_new_tokens=10)
+        c = eng.submit(_prompt(62, 17, cfg.d_model), max_new_tokens=10)
+        res = eng.run()
+        outs.append([res[r].tokens for r in (a, b, c)])
+    assert outs[0] == outs[1], outs
+    # and both match individual generation
+    for rid_tokens, (seed, s) in zip(outs[0], ((60, 6), (61, 29), (62, 17))):
+        ref = _reference_tokens(cfg, params, _prompt(seed, s, cfg.d_model),
+                                10, EOS)
+        assert rid_tokens == ref
