@@ -523,8 +523,9 @@ def _write_cache(cache: Dict, k_new, v_new, cache_index) -> Dict:
     if "k_scale" in cache:
         entries["k"], entries["k_scale"] = _quantize_kv(k_new)
         entries["v"], entries["v_scale"] = _quantize_kv(v_new)
-    else:
-        entries["k"], entries["v"] = k_new, v_new
+    else:  # cast at the single write point: works for any compute dtype
+        entries["k"] = k_new.astype(cache["k"].dtype)
+        entries["v"] = v_new.astype(cache["v"].dtype)
 
     if idx.ndim == 0:
         return {

@@ -134,11 +134,21 @@ def summarize_trace(logdir: str, top: int = 20) -> List[Dict[str, object]]:
     import os as _os
 
     # the C++ protobuf rejects mixed-version generated code; the pure-
-    # python implementation parses any version
+    # python implementation parses any version.  This only takes effect
+    # if protobuf has not been imported yet — otherwise re-raise with an
+    # actionable message instead of the opaque descriptor error.
     _os.environ.setdefault(
         "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python"
     )
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except TypeError as e:  # "Descriptors cannot be created directly"
+        raise RuntimeError(
+            "xplane protos need the pure-python protobuf runtime, but "
+            "protobuf was already imported with the C++ implementation. "
+            "Set PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python in the "
+            "environment before starting the process."
+        ) from e
 
     paths = sorted(
         _glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)

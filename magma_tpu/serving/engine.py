@@ -24,8 +24,10 @@ budget.  Only (B,) int32 tokens cross device->host per step — the logits
 and the sampling stay on device (D2H of large buffers is pathologically
 slow through tunneled TPU transports).
 
-Known simplification vs. state-of-the-art engines: prefill runs as its
-own program between decode steps (no chunked/piggybacked prefill), and
+Long prompts can prefill incrementally (``prefill_chunk``): one chunk —
+attending to the cache history plus itself — between decode windows, so
+an arriving 2000-token prompt does not stall every other slot for its
+whole prefill.  Remaining simplification vs. state-of-the-art engines:
 the cache is dense per slot (no paging) — with B slots of ``max_len``
 the int8 cache keeps 6B-scale serving well inside one v5e chip.
 """
@@ -53,42 +55,36 @@ class _Slot:
 
 
 @dataclasses.dataclass
+class _InflightPrefill:
+    slot_id: int
+    req_id: int
+    embeds: object          # (1, s, D) full prompt
+    s: int                  # true prompt length
+    off: int                # tokens prefilled so far
+    scratch: object         # 1-row scratch cache (chunk-multiple length)
+    max_new: int
+
+
+@dataclasses.dataclass
 class FinishedRequest:
     req_id: int
     tokens: List[int]          # generated ids, EOS included if emitted
     finish_reason: str         # "eos" | "length"
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_len", "temperature", "top_k", "top_p",
-                     "top_p_mode"),
-    donate_argnames=("cache",),   # in-place slot update: no 2x cache peak
-)
-def _prefill(cfg, params, cache, slot, embeds, prompt_len, rng, *,
-             max_len, temperature, top_k, top_p, top_p_mode):
-    """Prompt -> slot ``slot`` of the engine cache + first sampled token."""
-    b, s, _ = embeds.shape  # b == 1
-    scratch = gptj.init_kv_cache(cfg, 1, max_len)
+@functools.partial(jax.jit, static_argnames=("cfg", "scratch_len"))
+def _prefill_full(cfg, params, embeds, prompt_len, *, scratch_len):
+    """Whole-prompt prefill into a fresh 1-row scratch cache.  Returns
+    (scratch, hidden of the last true position); _install_slot scatters
+    the scratch into the engine cache and samples the first token."""
+    scratch = gptj.init_kv_cache(cfg, 1, scratch_len)
     hidden, scratch = gptj.forward(
         cfg, params, embeds, cache=scratch, cache_index=jnp.int32(0),
         kv_len=jnp.broadcast_to(prompt_len, (1,)), remat=False,
         return_hidden=True,
     )
-    cache = {
-        name: jax.lax.dynamic_update_slice(
-            cache[name], scratch[name],
-            (0, slot) + (0,) * (cache[name].ndim - 2),
-        )
-        for name in cache
-    }
     last_h = jax.lax.dynamic_slice_in_dim(hidden, prompt_len - 1, 1, axis=1)
-    logits = gptj.lm_head(cfg, params, last_h)[:, 0]
-    tok = sample_token(
-        rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
-        vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
-    )
-    return cache, tok[0]
+    return scratch, last_h
 
 
 @functools.partial(
@@ -117,10 +113,14 @@ def _prefill_chunk(cfg, params, scratch, emb_chunk, offset, true_len):
 def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
                   temperature, top_k, top_p, top_p_mode):
     """Scatter a finished scratch prefill into the engine cache at
-    ``slot`` and sample the request's first token."""
+    ``slot`` and sample the request's first token.  The scratch may be
+    longer than the engine cache (chunked prefill rounds its length up to
+    a chunk multiple so a padded final chunk never writes out of range —
+    dynamic_update_slice would silently clamp-and-corrupt)."""
+    max_len = cache["k"].shape[2]
     cache = {
         name: jax.lax.dynamic_update_slice(
-            cache[name], scratch[name],
+            cache[name], scratch[name][:, :, :max_len],
             (0, slot) + (0,) * (cache[name].ndim - 2),
         )
         for name in cache
@@ -218,7 +218,7 @@ class LMServingEngine:
         # One chunked prefill is in flight at a time (bounds the scratch
         # cache to one extra row).
         self.prefill_chunk = int(prefill_chunk)
-        self._inflight = None  # (slot_id, req_id, embeds, s, off, scratch, max_new)
+        self._inflight: Optional[_InflightPrefill] = None
         self._rng = jax.random.PRNGKey(seed)
         self._step_count = 0
         self._next_id = 0
@@ -255,10 +255,10 @@ class LMServingEngine:
         self._step_count += 1
         return jax.random.fold_in(self._rng, self._step_count)
 
-    def _install(self, slot_id, req_id, s, last_h, max_new, emitted):
-        """Finish a prefill: scatter into the engine cache, record the
-        first token, mark the slot live."""
-        scratch = self._inflight[5] if self._inflight else None
+    def _install(self, slot_id, req_id, s, scratch, last_h, max_new,
+                 emitted):
+        """Finish a prefill: scatter the scratch into the engine cache,
+        record the first token, mark the slot live."""
         self.cache, tok = _install_slot(
             self.cfg, self.params, self.cache, scratch, jnp.int32(slot_id),
             last_h, self._fold_rng(), **self.sampling,
@@ -272,25 +272,21 @@ class LMServingEngine:
 
     def _advance_inflight(self, emitted):
         """Run ONE chunk of the in-flight incremental prefill."""
-        slot_id, req_id, embeds, s, off, scratch, max_new = self._inflight
+        fl = self._inflight
         C = self.prefill_chunk
-        chunk = embeds[:, off:off + C]
+        chunk = fl.embeds[:, fl.off:fl.off + C]
         true_len = chunk.shape[1]
         if true_len < C:
             chunk = jnp.pad(chunk, ((0, 0), (0, C - true_len), (0, 0)))
-        scratch, last_h = _prefill_chunk(
-            self.cfg, self.params, scratch, chunk, jnp.int32(off),
+        fl.scratch, last_h = _prefill_chunk(
+            self.cfg, self.params, fl.scratch, chunk, jnp.int32(fl.off),
             jnp.int32(true_len),
         )
-        off += true_len
-        if off >= s:
-            self._inflight = (slot_id, req_id, embeds, s, off, scratch,
-                              max_new)
-            self._install(slot_id, req_id, s, last_h, max_new, emitted)
+        fl.off += true_len
+        if fl.off >= fl.s:
             self._inflight = None
-        else:
-            self._inflight = (slot_id, req_id, embeds, s, off, scratch,
-                              max_new)
+            self._install(fl.slot_id, fl.req_id, fl.s, fl.scratch, last_h,
+                          fl.max_new, emitted)
 
     def _admit(self, emitted):
         """Move pending requests into free slots (prefill each)."""
@@ -299,41 +295,44 @@ class LMServingEngine:
         for slot_id in range(self.max_batch):
             if not self.pending or self.slots[slot_id] is not None:
                 continue
-            if self._inflight is not None and self._inflight[0] == slot_id:
+            if self._inflight is not None and self._inflight.slot_id == slot_id:
                 continue
             req_id, embeds, max_new = self.pending.popleft()
             s = embeds.shape[1]
             if self.prefill_chunk and s > self.prefill_chunk:
-                # incremental: one chunk now, the rest between windows
+                # incremental: one chunk now, the rest between windows.
+                # The scratch rounds up to a chunk multiple so the padded
+                # final chunk writes in range (_install_slot trims).
                 if self._inflight is not None:
                     self.pending.appendleft((req_id, embeds, max_new))
                     continue
-                scratch = gptj.init_kv_cache(self.cfg, 1, self.max_len)
-                self._inflight = (slot_id, req_id, embeds, s, 0, scratch,
-                                  max_new)
+                C = self.prefill_chunk
+                scratch_len = -(-self.max_len // C) * C
+                scratch = gptj.init_kv_cache(self.cfg, 1, scratch_len)
+                self._inflight = _InflightPrefill(
+                    slot_id, req_id, embeds, s, 0, scratch, max_new
+                )
                 self._advance_inflight(emitted)
                 continue
-            pad = (-s) % self.prefill_bucket
+            # clamp bucket padding so it never exceeds the cache length
+            pad = min((-s) % self.prefill_bucket, self.max_len - s)
             if pad:
                 embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
-            self.cache, tok = _prefill(
-                self.cfg, self.params, self.cache, jnp.int32(slot_id),
-                embeds, jnp.int32(s), self._fold_rng(),
-                max_len=self.max_len, **self.sampling,
+            scratch, last_h = _prefill_full(
+                self.cfg, self.params, embeds, jnp.int32(s),
+                scratch_len=self.max_len,
             )
-            tok = int(tok)
-            self.slots[slot_id] = _Slot(req_id, [tok], max_new)
-            self.cur_lens[slot_id] = s
-            self.last_toks[slot_id] = tok
-            emitted.setdefault(req_id, []).append(tok)
-            self._maybe_retire(slot_id)
+            self._install(slot_id, req_id, s, scratch, last_h, max_new,
+                          emitted)
 
     def _maybe_retire(self, slot_id):
+        # after prefill the next decode write lands at cur_len (== s)
         self._retire_check(slot_id, int(self.cur_lens[slot_id]))
 
-    def _retire_check(self, slot_id, pos):
-        """Retire the slot if its latest token ends the request.  ``pos``
-        is the cache position the latest token's K/V landed at."""
+    def _retire_check(self, slot_id, next_write):
+        """Retire the slot if its latest token ends the request.
+        ``next_write`` is the cache position the NEXT decode step would
+        write this slot's K/V to."""
         slot = self.slots[slot_id]
         if slot is None:
             return
@@ -341,7 +340,7 @@ class LMServingEngine:
             reason = "eos"
         elif len(slot.tokens) >= slot.max_new_tokens:
             reason = "length"
-        elif pos + 1 >= self.max_len:
+        elif next_write >= self.max_len:
             reason = "length"
         else:
             return
@@ -383,7 +382,8 @@ class LMServingEngine:
                 slot.tokens.append(tok)
                 self.last_toks[slot_id] = tok
                 emitted.setdefault(slot.req_id, []).append(tok)
-                self._retire_check(slot_id, start_lens[slot_id] + k)
+                # token k's input K/V wrote at start+k; next write: +1
+                self._retire_check(slot_id, int(start_lens[slot_id]) + k + 1)
         return emitted
 
     def run(self) -> Dict[int, FinishedRequest]:

@@ -82,6 +82,7 @@ def main():
     # async stepping: sync only at the end — per-step loss fetches stall
     # the device for ~40 ms each on the tunneled transport
     losses = [loss]
+    lazy = loss
     t0 = time.time()
     for i in range(steps - 1):
         lazy = trainer.train_step(images, captions, sync=False)

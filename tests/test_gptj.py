@@ -164,3 +164,19 @@ def test_chunked_prefill_matches_monolithic(tiny_lm_config):
                          cache_index=jnp.int32(S))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                atol=5e-2, rtol=0)
+
+
+def test_cached_decode_with_f32_compute_dtype():
+    """compute_dtype != bfloat16 must still write the bf16 cache (new
+    entries are cast at the single write point)."""
+    cfg = gptj.GPTJConfig.tiny(compute_dtype=jnp.float32)
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 4, cfg.d_model)) * 0.02
+    cache = gptj.init_kv_cache(cfg, 1, 8)
+    _, cache = gptj.forward(cfg, params, emb, cache=cache,
+                            cache_index=jnp.int32(0))
+    assert cache["k"].dtype == jnp.bfloat16
+    step = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.d_model)) * 0.02
+    logits, cache = gptj.forward(cfg, params, step, cache=cache,
+                                 cache_index=jnp.int32(4))
+    assert logits.shape[1] == 1

@@ -160,3 +160,70 @@ def test_chunked_prefill_engine_matches_monolithic(lm):
         ref = _reference_tokens(cfg, params, _prompt(seed, s, cfg.d_model),
                                 10, EOS)
         assert rid_tokens == ref
+
+
+def test_magma_serving_engine_end_to_end():
+    """MagmaServingEngine: multimodal prompts in, decoded strings out."""
+    from magma_tpu.config import MultimodalConfig
+    from magma_tpu.models.magma import Magma
+    from magma_tpu.serving import MagmaServingEngine
+
+    cfg = MultimodalConfig(
+        batch_size=1, train_steps=1, encoder_name="clip_resnet_large",
+        adapter_config={"mlp": {"adapter_type": "normal",
+                                "downsample_factor": 4}},
+        lm_overrides=dict(n_layers=2, n_heads=4, d_model=128, d_ff=512,
+                          rotary_dim=16, max_seq_len=128,
+                          attention_impl="xla", remat=False),
+        encoder_overrides=dict(width=16, blocks=(1, 1, 1, 1),
+                               input_resolution=32),
+        image_size=32,
+    )
+    m = Magma(cfg)
+    eng = MagmaServingEngine(m, max_batch=2, max_len=128, prefill_bucket=8,
+                             decode_window=2)
+    img = np.zeros((1, 3, 32, 32), np.float32)
+    r0 = eng.submit_prompt([img, "a picture of"], max_new_tokens=5)
+    r1 = eng.submit_prompt([img, "describe:"], max_new_tokens=5)
+    eng.run()
+    texts = eng.text_results()
+    assert set(texts) == {r0, r1}
+    assert all(isinstance(t, str) for t in texts.values())
+    assert all(1 <= len(eng.finished[r].tokens) <= 5 for r in (r0, r1))
+
+
+def test_chunk_size_not_dividing_max_len(lm):
+    """A padded final chunk must not corrupt the cache when prefill_chunk
+    does not divide max_len (the scratch rounds up; install trims)."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=1, max_len=40,
+                          eos_token=EOS, prefill_bucket=8,
+                          decode_window=2, prefill_chunk=16)
+    p = _prompt(70, 35, cfg.d_model)  # 3 chunks: 16+16+3(pad 13), > 40
+    rid = eng.submit(p, max_new_tokens=4)
+    res = eng.run()[rid]
+    ref = _reference_tokens(cfg, params, p, 4, EOS)
+    assert res.tokens == ref
+
+
+def test_prompt_near_max_len_gets_second_token(lm):
+    """s = max_len - 1 leaves room for exactly one decode write: the
+    request must yield two tokens (prefill + one decode), not one."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=1, max_len=32,
+                          eos_token=-1, prefill_bucket=8, decode_window=1)
+    rid = eng.submit(_prompt(71, 31, cfg.d_model), max_new_tokens=10)
+    res = eng.run()[rid]
+    assert len(res.tokens) == 2, res
+    assert res.finish_reason == "length"
+
+
+def test_bucket_padding_clamped_to_max_len(lm):
+    """A prompt whose bucket-rounded length exceeds max_len must still
+    prefill (padding clamps to the cache length)."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=1, max_len=36,
+                          eos_token=-1, prefill_bucket=16, decode_window=1)
+    rid = eng.submit(_prompt(72, 30, cfg.d_model), max_new_tokens=3)
+    res = eng.run()[rid]
+    assert len(res.tokens) == 3

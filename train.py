@@ -180,18 +180,24 @@ def main():
     logger = MetricLogger(config)
     print_main(f"training from step {global_step} to {config.train_steps}")
 
+    t_interval = time.time()
+    steps_in_interval = 0
     while global_step < config.train_steps:
-        t0 = time.time()
         images, captions = next(train_loader)
         # async: the device runs this step while the host fetches/queues
         # the next batch; the loss only syncs at logging boundaries
         loss = trainer.train_step(images, captions, sync=False)
         global_step = trainer.global_step
-        step_time = time.time() - t0
+        steps_in_interval += 1
 
         if global_step % config.log_every == 0:
-            loss = float(loss)  # device sync: once per log interval
-            step_time = time.time() - t0
+            loss = float(loss)  # device sync: drains the queued steps
+            # amortized per-step time over the interval — timing a single
+            # async iteration would measure either ~0 (dispatch only) or
+            # the whole backlog drain at the sync
+            step_time = (time.time() - t_interval) / steps_in_interval
+            t_interval = time.time()
+            steps_in_interval = 0
             print_main(
                 f"step {global_step} loss {loss:.4f} ({step_time:.2f}s/step)"
             )
