@@ -73,11 +73,13 @@ def convert_dataset(
     relocate = shutil.move if mode == "mv" else shutil.copy
 
     # source path -> {"image_path": relative stored path, "hash": optional}
+    # (or None: relocation failed — skip every sample of that image)
     seen: dict = {}
+    n_skipped = 0
 
     for sample_idx, (img_path, sample) in enumerate(ds_iterator or ()):
-        entry = seen.get(str(img_path))
-        if entry is None:
+        key = str(img_path)
+        if key not in seen:
             entry = {}
             if hash_fn is not None:
                 h = _hash_image(img_path, hash_fn)
@@ -86,10 +88,21 @@ def convert_dataset(
             shard_dir = image_shards.allocate()
             try:
                 relocate(str(img_path), str(shard_dir))
+                entry["image_path"] = (
+                    f"images/{shard_dir.name}/{Path(img_path).name}"
+                )
             except OSError as e:
-                print(f"Warning: could not store image {img_path}: {e}")
-            entry["image_path"] = f"images/{shard_dir.name}/{Path(img_path).name}"
-            seen[str(img_path)] = entry
+                # do NOT write a record pointing at a file that was never
+                # stored — that poisons every epoch with the corrupt-image
+                # fallback; drop the sample (and its duplicates) instead
+                print(f"Warning: could not store image {img_path}: {e}; "
+                      "skipping its samples")
+                entry = None
+            seen[key] = entry
+        entry = seen[key]
+        if entry is None:
+            n_skipped += 1
+            continue
 
         record = dict(sample)
         record["image_path"] = entry["image_path"]
@@ -99,3 +112,7 @@ def convert_dataset(
         record_dir = record_shards.allocate()
         with open(record_dir / f"{sample_idx}.json", "w") as f:
             json.dump(record, f)
+
+    if n_skipped:
+        print(f"Warning: skipped {n_skipped} samples whose images could "
+              "not be stored")

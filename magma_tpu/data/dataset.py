@@ -84,10 +84,19 @@ class ImgCptDataset:
         self.load_data_in_memory = load_data_in_memory
         self._lazy = LazyLoader(self.data_dir)
         if load_data_in_memory:
-            records = (load_json(p) for p in self._lazy.paths)
-            self.data: Sequence = [r for r in records if r is not None]
+            # filter records and paths TOGETHER: _image_file pairs
+            # self.data[idx] with self._paths[idx] for the sibling-jpg
+            # fallback, so the two lists must stay aligned
+            loaded = [
+                (r, p)
+                for r, p in ((load_json(p), p) for p in self._lazy.paths)
+                if r is not None
+            ]
+            self.data: Sequence = [r for r, _ in loaded]
+            self._paths = [p for _, p in loaded]
         else:
             self.data = self._lazy
+            self._paths = self._lazy.paths
 
     def __len__(self) -> int:
         return len(self.data)
@@ -98,7 +107,7 @@ class ImgCptDataset:
         rel = record.get("image_path")
         if rel is not None:
             return self.data_dir / rel
-        json_path = self._lazy.paths[idx]
+        json_path = self._paths[idx]
         shard = json_path.parent.name
         return self.data_dir / "images" / shard / (json_path.stem + ".jpg")
 
@@ -124,7 +133,10 @@ class ImgCptDataset:
         for _ in range(_MAX_RETRIES):
             try:
                 return self._load_one(idx)
-            except Exception as e:
+            except (OSError, IndexError, KeyError) as e:
+                # unreadable/corrupt sample (incl. PIL and native-loader
+                # IOErrors): draw another.  Programming errors (TypeError
+                # etc.) propagate instead of being masked as bad data.
                 print(f"sample {idx} unreadable ({e!r}); drawing another")
                 idx = random.randrange(len(self))
         raise RuntimeError(f"no loadable sample after {_MAX_RETRIES} draws")

@@ -43,6 +43,19 @@ def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
     return min(matches / 3.0, 1.0)
 
 
+def _eval_loss_jit(model):
+    """Per-model cached jitted eval loss: jax.jit caches by function
+    identity, so building a fresh lambda per eval_loss call would retrace
+    and recompile the full loss program every eval tick."""
+    import jax
+
+    if not hasattr(model, "_eval_loss_jit"):
+        model._eval_loss_jit = jax.jit(
+            lambda p, s, i, c: model.loss_fn(p, s, i, c, train=False)[0]
+        )
+    return model._eval_loss_jit
+
+
 def eval_loss(model, dataset, n_batches: int = 25, batch_size: int = 8,
               seed: int = 0) -> float:
     """Mean caption LM loss over random batches (eval_step parity for
@@ -51,13 +64,9 @@ def eval_loss(model, dataset, n_batches: int = 25, batch_size: int = 8,
     Uses the jitted chunked-loss path — one compiled program for all
     batches, and the (b, s, vocab) fp32 logits never materialize, so this
     runs against the 6B flagship on a single chip."""
-    import jax
-
     from magma_tpu.data.dataset import collate_fn
 
-    loss_jit = jax.jit(
-        lambda p, s, i, c: model.loss_fn(p, s, i, c, train=False)[0]
-    )
+    loss_jit = _eval_loss_jit(model)
     rng = np.random.RandomState(seed)
     losses = []
     for _ in range(n_batches):

@@ -40,10 +40,16 @@ NO_STD = np.ones(3, np.float32)
 
 
 def _build() -> Optional[str]:
-    """Compile loader.cc -> _loader.so.  Returns an error string or None."""
+    """Compile loader.cc -> _loader.so.  Returns an error string or None.
+
+    Builds to a process-unique temp name and os.replace()s it into place:
+    concurrent processes racing the first build each produce a complete
+    library and atomically install it, instead of one dlopen'ing the
+    other's half-written output."""
+    tmp = _SO.with_suffix(f".so.{os.getpid()}.tmp")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC),
-        "-o", str(_SO), "-ljpeg", "-lpng",
+        "-o", str(tmp), "-ljpeg", "-lpng",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -51,7 +57,9 @@ def _build() -> Optional[str]:
     except (OSError, subprocess.TimeoutExpired) as e:
         return f"g++ unavailable: {e}"
     if proc.returncode != 0:
+        tmp.unlink(missing_ok=True)
         return proc.stderr[-2000:]
+    os.replace(tmp, _SO)
     return None
 
 
@@ -119,24 +127,32 @@ def load_clip(path, size: int, normalize: bool = True) -> np.ndarray:
 
 
 def decode(path) -> np.ndarray:
-    """Decode ``path`` to an (h, w, 3) uint8 RGB array (no preprocessing)."""
+    """Decode ``path`` to an (h, w, 3) uint8 RGB array (no preprocessing).
+
+    Decodes once for typical images: the first call gets a generous
+    buffer (12 MP); only larger images pay a second decode at the exact
+    size (a cap-too-small query call would otherwise decode everything
+    twice)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native loader unavailable: {_build_error}")
     w = ctypes.c_int()
     h = ctypes.c_int()
-    null = ctypes.POINTER(ctypes.c_uint8)()
-    need = lib.mtl_decode(str(path).encode(), null, 0, ctypes.byref(w),
-                          ctypes.byref(h))
+    cap = 12 * 1024 * 1024 * 3
+    buf = np.empty(cap, np.uint8)
+    need = lib.mtl_decode(str(path).encode(), buf.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), cap, ctypes.byref(w),
+        ctypes.byref(h))
     if need < 0:
         raise IOError(f"native decode failed ({need}): {path}")
-    out = np.empty((h.value, w.value, 3), np.uint8)
-    got = lib.mtl_decode(str(path).encode(), out.ctypes.data_as(
-        ctypes.POINTER(ctypes.c_uint8)), need, ctypes.byref(w),
-        ctypes.byref(h))
-    if got != need:
-        raise IOError(f"native decode failed ({got}): {path}")
-    return out
+    if need > cap:  # rare: image over 12 MP — decode again at exact size
+        buf = np.empty(need, np.uint8)
+        got = lib.mtl_decode(str(path).encode(), buf.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), need, ctypes.byref(w),
+            ctypes.byref(h))
+        if got != need:
+            raise IOError(f"native decode failed ({got}): {path}")
+    return buf[:need].reshape(h.value, w.value, 3).copy()
 
 
 class NativeClipTransform:
@@ -152,12 +168,24 @@ class NativeClipTransform:
         self.n_px = n_px
         self._pil_fallback = None
 
+    def _fallback(self):
+        if self._pil_fallback is None:
+            from magma_tpu.data.transforms import clip_transform
+
+            self._pil_fallback = clip_transform(self.n_px)
+        return self._pil_fallback
+
     def __call__(self, path) -> np.ndarray:
         if not isinstance(path, (str, os.PathLike)):
             # PIL image fell through (e.g. URL inputs): use the PIL path
-            if self._pil_fallback is None:
-                from magma_tpu.data.transforms import clip_transform
+            return self._fallback()(path)
+        try:
+            return load_clip(path, self.n_px)
+        except IOError:
+            # formats the native decoder does not handle (WebP, BMP,
+            # TIFF, CMYK JPEG, ...) go through PIL instead of being
+            # dropped; PIL raises its own error for truly corrupt files
+            from PIL import Image
 
-                self._pil_fallback = clip_transform(self.n_px)
-            return self._pil_fallback(path)
-        return load_clip(path, self.n_px)
+            with Image.open(path) as img:
+                return self._fallback()(img.convert("RGB"))

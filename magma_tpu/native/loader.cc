@@ -28,6 +28,10 @@
 
 namespace {
 
+// reject absurd header dimensions before allocating (a corrupt 65k x 65k
+// JPEG header would ask for tens of GB)
+constexpr long kMaxPixels = 64L * 1024 * 1024;  // 64 MP
+
 // ---------------------------------------------------------------------
 // Decoders -> RGB8 (h, w, 3)
 // ---------------------------------------------------------------------
@@ -58,7 +62,8 @@ bool decode_jpeg(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
-  if (w <= 0 || h <= 0 || cinfo.output_components != 3) {
+  if (w <= 0 || h <= 0 || cinfo.output_components != 3 ||
+      long(w) * h > kMaxPixels) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
@@ -95,14 +100,20 @@ bool decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  bool trns = png_get_valid(png, info, PNG_INFO_tRNS);
+  if (trns) png_set_tRNS_to_alpha(png);
   if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  // drop alpha: composite over black is wrong for photos; PIL convert("RGB")
-  // drops alpha too
-  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // drop alpha: PIL convert("RGB") drops it too.  tRNS_to_alpha ADDS an
+  // alpha channel to formats whose color_type has no alpha bit, so gate
+  // on either source
+  if ((color & PNG_COLOR_MASK_ALPHA) || trns) png_set_strip_alpha(png);
   png_read_update_info(png, info);
   if (png_get_channels(png, info) != 3 || w <= 0 || h <= 0) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  if (long(w) * h > kMaxPixels) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
@@ -127,6 +138,7 @@ bool decode_file(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
     ok = decode_png(f, rgb, w, h);
   }
   fclose(f);
+  if (ok && (long(w) * h > kMaxPixels)) ok = false;
   return ok;
 }
 
@@ -223,7 +235,7 @@ extern "C" {
 // mean/stdv: 3 floats each (pass 0/1-style values to skip normalize).
 // Returns 0 on success, -1 unreadable/undecodable, -2 bad args.
 int mtl_load_clip(const char* path, int size, const float* mean,
-                  const float* stdv, float* out) {
+                  const float* stdv, float* out) try {
   if (!path || size <= 0 || !out || !mean || !stdv) return -2;
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
@@ -260,13 +272,15 @@ int mtl_load_clip(const char* path, int size, const float* mean,
     }
   }
   return 0;
+} catch (...) {  // never let C++ exceptions cross the C ABI (std::terminate)
+  return -1;
 }
 
 // Decode only: writes RGB8 into out if its capacity (cap bytes) suffices.
 // Returns needed byte count (w*h*3) and fills *w_out/*h_out; negative on
 // error.  Call once with cap=0 to query the size.
 long mtl_decode(const char* path, uint8_t* out, long cap, int* w_out,
-                int* h_out) {
+                int* h_out) try {
   if (!path || !w_out || !h_out) return -2;
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
@@ -276,6 +290,8 @@ long mtl_decode(const char* path, uint8_t* out, long cap, int* w_out,
   long need = long(rgb.size());
   if (out && cap >= need) std::memcpy(out, rgb.data(), need);
   return need;
+} catch (...) {
+  return -1;
 }
 
 }  // extern "C"

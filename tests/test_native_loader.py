@@ -95,3 +95,35 @@ def test_dataset_uses_native_path(tmp_path):
     img, cpt = ds[0]
     assert img.shape == (1, 3, 64, 64) and img.dtype == np.float32
     assert cpt.shape == (1, 32)
+
+
+def test_png_with_trns_transparency_decodes(tmp_path):
+    """A palette PNG carrying a tRNS chunk must decode (tRNS_to_alpha adds
+    a 4th channel to images whose color type has no alpha bit; the strip
+    must account for that or every such PNG is rejected)."""
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    img = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE)
+    path = tmp_path / "trns.png"
+    img.save(path, transparency=0)  # writes a tRNS chunk
+    out = native.decode(str(path))
+    assert out.shape == (24, 24, 3)
+    ref = np.asarray(Image.open(path).convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_webp_falls_back_to_pil(tmp_path):
+    """Formats the native decoder does not handle go through PIL instead
+    of being dropped as corrupt samples."""
+    from magma_tpu.native import NativeClipTransform
+
+    rng = np.random.RandomState(1)
+    arr = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    path = tmp_path / "img.webp"
+    try:
+        Image.fromarray(arr).save(path)
+    except (OSError, KeyError):
+        pytest.skip("PIL lacks WebP support in this environment")
+    t = NativeClipTransform(n_px=32)
+    out = t(str(path))
+    assert out.shape == (1, 3, 32, 32)
