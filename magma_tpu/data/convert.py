@@ -85,6 +85,13 @@ def convert_dataset(
                 h = _hash_image(img_path, hash_fn)
                 if h is not None:
                     entry["hash"] = h
+            if not Path(img_path).is_file():
+                # common failure caught before burning a shard slot
+                print(f"Warning: missing image {img_path}; skipping its "
+                      "samples")
+                seen[key] = None
+                n_skipped += 1
+                continue
             shard_dir = image_shards.allocate()
             try:
                 relocate(str(img_path), str(shard_dir))

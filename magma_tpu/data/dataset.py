@@ -35,14 +35,27 @@ import numpy as np
 
 _MAX_RETRIES = 32
 
+try:  # bad-data exception set for the __getitem__ retry loop
+    from PIL import Image as _PILImage
+
+    _DATA_ERRORS: tuple = (OSError, IndexError, KeyError, ValueError,
+                           _PILImage.DecompressionBombError)
+except Exception:  # PIL-less environments
+    _DATA_ERRORS = (OSError, IndexError, KeyError, ValueError)
+
 
 def load_json(filename) -> Optional[dict]:
-    """Read one record json; None (with a log line) if undecodable."""
+    """Read one record json; None (with a log line) if undecodable or
+    not a dict record."""
     try:
-        return json.loads(Path(filename).read_text())
+        record = json.loads(Path(filename).read_text())
     except Exception as e:
         print(f"skipping unreadable record {filename}: {e!r}")
         return None
+    if not isinstance(record, dict):
+        print(f"skipping non-record json {filename}")
+        return None
+    return record
 
 
 class LazyLoader:
@@ -57,13 +70,19 @@ class LazyLoader:
     def __len__(self) -> int:
         return len(self.paths)
 
-    def __getitem__(self, idx) -> dict:
+    def get_with_path(self, idx) -> Tuple[dict, Path]:
+        """Record plus ITS OWN json path: the internal redraw on a bad
+        file must move both together, or the sibling-jpg fallback pairs a
+        redrawn record with the broken file's path."""
         for _ in range(_MAX_RETRIES):
             record = load_json(self.paths[idx])
             if record is not None:
-                return record
+                return record, self.paths[idx]
             idx = random.randrange(len(self))
         raise RuntimeError(f"no readable record after {_MAX_RETRIES} draws")
+
+    def __getitem__(self, idx) -> dict:
+        return self.get_with_path(idx)[0]
 
 
 class ImgCptDataset:
@@ -101,26 +120,28 @@ class ImgCptDataset:
     def __len__(self) -> int:
         return len(self.data)
 
-    def _image_file(self, record: dict, idx: int) -> Path:
+    def _image_file(self, record: dict, json_path: Path) -> Path:
         """Stored path from the record, else the sibling jpg sharing the
         json's stem (reference dataset.py:119-132)."""
         rel = record.get("image_path")
         if rel is not None:
             return self.data_dir / rel
-        json_path = self._paths[idx]
         shard = json_path.parent.name
         return self.data_dir / "images" / shard / (json_path.stem + ".jpg")
 
     def _load_one(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        record = self.data[idx]
+        if self.load_data_in_memory:
+            record, json_path = self.data[idx], self._paths[idx]
+        else:  # lazy: the loader redraws record AND path together
+            record, json_path = self._lazy.get_with_path(idx)
         if getattr(self.transforms, "wants_path", False):
             # native C++ path: decode + preprocess in one GIL-free call
             # (magma_tpu/native); raises IOError -> retry loop below
-            pixels = self.transforms(self._image_file(record, idx))
+            pixels = self.transforms(self._image_file(record, json_path))
         else:
             from PIL import Image
 
-            with Image.open(self._image_file(record, idx)) as img:
+            with Image.open(self._image_file(record, json_path)) as img:
                 pixels = self.transforms(img)
         caption = random.choice(record["captions"])
         tokens = self.tokenizer.encode(
@@ -133,10 +154,11 @@ class ImgCptDataset:
         for _ in range(_MAX_RETRIES):
             try:
                 return self._load_one(idx)
-            except (OSError, IndexError, KeyError) as e:
+            except _DATA_ERRORS as e:
                 # unreadable/corrupt sample (incl. PIL and native-loader
-                # IOErrors): draw another.  Programming errors (TypeError
-                # etc.) propagate instead of being masked as bad data.
+                # IOErrors, truncated files, decompression bombs): draw
+                # another.  Programming errors (TypeError etc.) propagate
+                # instead of being masked as bad data.
                 print(f"sample {idx} unreadable ({e!r}); drawing another")
                 idx = random.randrange(len(self))
         raise RuntimeError(f"no loadable sample after {_MAX_RETRIES} draws")

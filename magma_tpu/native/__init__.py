@@ -55,6 +55,7 @@ def _build() -> Optional[str]:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
+        tmp.unlink(missing_ok=True)  # a killed g++ leaves a partial file
         return f"g++ unavailable: {e}"
     if proc.returncode != 0:
         tmp.unlink(missing_ok=True)
@@ -152,6 +153,7 @@ def decode(path) -> np.ndarray:
             ctypes.byref(h))
         if got != need:
             raise IOError(f"native decode failed ({got}): {path}")
+        return buf.reshape(h.value, w.value, 3)  # exact-size: no copy
     return buf[:need].reshape(h.value, w.value, 3).copy()
 
 

@@ -67,7 +67,12 @@ bool decode_jpeg(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  rgb.resize(size_t(w) * h * 3);
+  try {
+    rgb.resize(size_t(w) * h * 3);
+  } catch (...) {  // bad_alloc must not unwind past the C state teardown
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = rgb.data() + size_t(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -117,7 +122,12 @@ bool decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
-  rgb.resize(size_t(w) * h * 3);
+  try {
+    rgb.resize(size_t(w) * h * 3);
+  } catch (...) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   std::vector<png_bytep> rows(h);
   for (int y = 0; y < h; ++y) rows[y] = rgb.data() + size_t(y) * w * 3;
   png_read_image(png, rows.data());
@@ -132,10 +142,14 @@ bool decode_file(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   size_t n = fread(magic, 1, 8, f);
   rewind(f);
   bool ok = false;
-  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, rgb, w, h);
-  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png(f, rgb, w, h);
+  try {
+    if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+      ok = decode_jpeg(f, rgb, w, h);
+    } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+      ok = decode_png(f, rgb, w, h);
+    }
+  } catch (...) {
+    ok = false;  // fclose below must still run
   }
   fclose(f);
   if (ok && (long(w) * h > kMaxPixels)) ok = false;

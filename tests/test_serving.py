@@ -224,6 +224,7 @@ def test_bucket_padding_clamped_to_max_len(lm):
     cfg, params = lm
     eng = LMServingEngine(cfg, params, max_batch=1, max_len=36,
                           eos_token=-1, prefill_bucket=16, decode_window=1)
-    rid = eng.submit(_prompt(72, 30, cfg.d_model), max_new_tokens=3)
+    # s=33 bucket-rounds to 48 > max_len=36: only the clamp makes this work
+    rid = eng.submit(_prompt(72, 33, cfg.d_model), max_new_tokens=3)
     res = eng.run()[rid]
     assert len(res.tokens) == 3
