@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+from magma_tpu.ops.attention import NEG_INF  # shared masking constant
 LANES = 128
 
 
@@ -48,6 +48,28 @@ def _block_sizes(s_q: int, s_k: int, hd: int):
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+
+def _masked_scores(q, k, kvl_ref, i, j, kb, *, scale, causal, use_kv_len,
+                   q_offset, block_q, block_k):
+    """Scaled score tile + combined causal/kv_len mask (None = unmasked).
+
+    Shared by the forward and both backward kernels so the masking logic
+    cannot drift between them."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = None
+    if causal:
+        mask = (cols + kb * block_k) <= (rows + q_offset + j * block_q)
+    if use_kv_len:
+        klm = (cols + kb * block_k) < kvl_ref[i]
+        mask = klm if mask is None else jnp.logical_and(mask, klm)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    return s, mask
 
 
 def _fwd_kernel(
@@ -87,22 +109,11 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = None
-        if causal:
-            mask = (cols + kb * block_k) <= (rows + q_offset + j * block_q)
-        if use_kv_len:
-            klm = (cols + kb * block_k) < kvl_ref[i]
-            mask = klm if mask is None else jnp.logical_and(mask, klm)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
+        s, mask = _masked_scores(
+            q_ref[0], k_ref[0], kvl_ref, i, j, kb, scale=scale,
+            causal=causal, use_kv_len=use_kv_len, q_offset=q_offset,
+            block_q=block_q, block_k=block_k,
+        )
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -110,6 +121,12 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)             # (block_q, LANES)
         alpha = jnp.exp(m_prev - m_next)                 # (block_q, LANES)
         p = jnp.exp(s - m_next[:, :1])                   # (block_q, block_k)
+        if mask is not None:
+            # a FULLY-masked row has m_next == NEG_INF and exp(s - m_next)
+            # == 1 for its masked entries — l would inflate to s_k and the
+            # output become mean(V) instead of 0 (the l==0 guard in _store
+            # could never fire).  Zero masked probabilities explicitly.
+            p = jnp.where(mask, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -214,24 +231,18 @@ def _bwd_dkv_kernel(
 
     @pl.when(should_run)
     def _run():
+        s, mask = _masked_scores(
+            q_ref[0], k_ref[0], kvl_ref, i, j, kb, scale=scale,
+            causal=causal, use_kv_len=use_kv_len, q_offset=q_offset,
+            block_q=block_q, block_k=block_k,
+        )
+
         q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = None
-        if causal:
-            mask = (cols + kb * block_k) <= (rows + q_offset + j * block_q)
-        if use_kv_len:
-            klm = (cols + kb * block_k) < kvl_ref[i]
-            mask = klm if mask is None else jnp.logical_and(mask, klm)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
-
         p = jnp.exp(s - lse_ref[0][:, :1])                 # (block_q, block_k)
+        if mask is not None:
+            # fully-masked rows carry lse ~ NEG_INF: exp(NEG_INF - lse)
+            # would EXPLODE, not vanish — zero masked entries explicitly
+            p = jnp.where(mask, p, 0.0)
         do = do_ref[0].astype(jnp.float32)
         # dV += P^T dO
         dv_scr[...] += jax.lax.dot_general(
@@ -287,24 +298,16 @@ def _bwd_dq_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0]
+        s, mask = _masked_scores(
+            q_ref[0], k_ref[0], kvl_ref, i, j, kb, scale=scale,
+            causal=causal, use_kv_len=use_kv_len, q_offset=q_offset,
+            block_q=block_q, block_k=block_k,
+        )
         k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = None
-        if causal:
-            mask = (cols + kb * block_k) <= (rows + q_offset + j * block_q)
-        if use_kv_len:
-            klm = (cols + kb * block_k) < kvl_ref[i]
-            mask = klm if mask is None else jnp.logical_and(mask, klm)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
 
         p = jnp.exp(s - lse_ref[0][:, :1])
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
         do = do_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),

@@ -177,11 +177,24 @@ def generate_tokens(
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, step))
         done = jnp.logical_or(done, tok == eos_token)
 
-        emb = gptj.embed_tokens(cfg, params, tok[:, None])  # (b, 1, D)
-        logits, new_cache = gptj.forward(
-            cfg, params, emb, cache=cache, cache_index=cur_len, remat=False,
+        # the forward produces logits for the NEXT token; when this one
+        # was the last (budget reached or every row done — exactly the
+        # loop's exit condition) skip it: one full-model decode step per
+        # generate call would otherwise run unconsumed
+        need_next = jnp.logical_and(step + 1 < max_steps, ~jnp.all(done))
+
+        def fwd(cache):
+            emb = gptj.embed_tokens(cfg, params, tok[:, None])  # (b, 1, D)
+            logits, new_cache = gptj.forward(
+                cfg, params, emb, cache=cache, cache_index=cur_len,
+                remat=False,
+            )
+            return logits[:, -1], new_cache
+
+        last, cache = jax.lax.cond(
+            need_next, fwd, lambda c: (jnp.zeros_like(last_logits), c), cache
         )
-        return step + 1, tokens, new_cache, logits[:, -1], done, cur_len + 1
+        return step + 1, tokens, cache, last, done, cur_len + 1
 
     state = (jnp.int32(0), tokens0, cache, last, done0, prompt_len)
     step, tokens, *_ = jax.lax.while_loop(cond, body, state)

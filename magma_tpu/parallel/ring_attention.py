@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+from magma_tpu.ops.attention import NEG_INF  # shared masking constant
 
 
 def _partial_attention(q, k, v, *, scale, q_offset, kv_offset, causal):
@@ -74,10 +74,32 @@ def ring_attention(
         src = (idx - step_idx) % n          # origin device of current block
         kv_offset = src * s_local
 
-        m_new, l_new, o_new = _partial_attention(
-            q, k_blk, v_blk, scale=scale, q_offset=q_offset,
-            kv_offset=kv_offset, causal=causal,
-        )
+        if causal:
+            # a block strictly in this device's future is fully masked:
+            # skip BOTH einsums, not just mask the result — on average
+            # half of all ring steps are dead compute otherwise.  Both
+            # branches are collective-free, so the program stays static.
+            live = kv_offset <= q_offset + s_local - 1
+            m_new, l_new, o_new = jax.lax.cond(
+                live,
+                lambda: _partial_attention(
+                    q, k_blk, v_blk, scale=scale, q_offset=q_offset,
+                    kv_offset=kv_offset, causal=causal,
+                ),
+                lambda: tuple(
+                    jax.lax.pvary(t, (axis_name,))  # match varying types
+                    for t in (
+                        jnp.full((b, h, s_local, 1), -1e30, jnp.float32),
+                        jnp.zeros((b, h, s_local, 1), jnp.float32),
+                        jnp.zeros((b, s_local, h, hd), jnp.float32),
+                    )
+                ),
+            )
+        else:
+            m_new, l_new, o_new = _partial_attention(
+                q, k_blk, v_blk, scale=scale, q_offset=q_offset,
+                kv_offset=kv_offset, causal=causal,
+            )
         m_next = jnp.maximum(m_acc, m_new)
         alpha = jnp.exp(m_acc - m_next)
         beta = jnp.exp(m_new - m_next)

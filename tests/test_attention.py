@@ -8,6 +8,7 @@ import pytest
 
 from magma_tpu.ops.attention import decode_attention, xla_attention
 from magma_tpu.ops.flash_attention import flash_attention
+from magma_tpu.ops.flash_attention import flash_attention
 
 
 def _qkv(b=2, s=256, h=2, hd=128, seed=0):
@@ -86,3 +87,28 @@ def test_decode_matches_full_attention():
     np.testing.assert_allclose(
         np.asarray(out[:, 0]), np.asarray(full[:, -1]), atol=1e-5
     )
+
+
+def test_flash_fully_masked_rows_output_zero():
+    """kv_len == 0 rows must output 0 (not mean(V)): exp(NEG_INF-NEG_INF)
+    == 1 would otherwise inflate l to s_k inside fully-masked blocks."""
+    import jax
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 3, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 3, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 3, 128))
+    kv_len = jnp.array([0, 100], jnp.int32)
+    out = flash_attention(q, k, v, scale=0.125, causal=False, kv_len=kv_len,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)
+    assert float(jnp.max(jnp.abs(out[1]))) > 0  # the live row still works
+
+    # gradients through fully-masked rows must be finite (and zero)
+    def loss(q):
+        o = flash_attention(q, k, v, scale=0.125, causal=False,
+                            kv_len=kv_len, interpret=True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g[0]), 0.0, atol=1e-5)
