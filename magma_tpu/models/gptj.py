@@ -69,6 +69,13 @@ class GPTJConfig:
     decode_impl: str = "xla"
     # "bf16" or "int8" (per-position/head scales; halves decode cache BW)
     kv_cache_dtype: str = "bf16"
+    # Unroll the layer loop for s == 1 decode steps.  Static layer indices
+    # turn the per-layer KV-cache reads into *static* slices that XLA
+    # fuses into the attention einsum — under ``lax.scan`` the dynamic
+    # slice materializes a copy of each layer's cache every token
+    # (GB/token at long context) and adds fixed per-layer latency.
+    # Costs one longer compile of the decode program; numerics identical.
+    decode_unroll: bool = True
     remat: bool = True
     mlp_adapter: Optional[AdapterSpec] = None
     attn_adapter: Optional[AdapterSpec] = None
@@ -234,12 +241,27 @@ def _mm(x: jnp.ndarray, w, cdt) -> jnp.ndarray:
     return jnp.dot(x, w.astype(cdt))
 
 
+def _serving_cast_adapters(params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Cast adapter params to bf16 for serving.  Adapters keep fp32
+    masters for training, but at decode time they are the only sizable
+    non-quantized per-layer stream: the v1 recipe (k=4) reads ~0.9 GB of
+    fp32 adapter weights per generated token on the 6B — ~1.2 ms/token of
+    pure HBM traffic that bf16 halves.  Mutates (and returns) params."""
+    for key in ("adapter_mlp", "adapter_attn"):
+        if key in params["blocks"]:
+            params["blocks"][key] = jax.tree_util.tree_map(
+                lambda t: t.astype(dtype), params["blocks"][key]
+            )
+    return params
+
+
 def quantize_lm_params(params: Dict) -> Dict:
     """Weight-only int8 quantization of the serving-critical matrices:
     attention q/k/v/o, MLP fc_in/fc_out, and the output head (derived from
-    the tied wte).  Adapters, layernorms, and the embedding table stay in
-    their original dtype.  Mutates (and returns) ``params``, dropping
-    references to the originals so peak HBM stays bounded.
+    the tied wte).  Layernorms and the embedding table stay in their
+    original dtype; adapters are cast to bf16 (serving copy).  Mutates
+    (and returns) ``params``, dropping references to the originals so
+    peak HBM stays bounded.
 
     Decode becomes ~2x faster: single-stream generation is HBM-bound and
     int8 halves the bytes read per token (see ops/quant.py).
@@ -261,15 +283,17 @@ def quantize_lm_params(params: Dict) -> Dict:
         mlp_p[k]["kernel"] = unwrap(mlp_p[k]["kernel"])
 
     attn = params["blocks"]["attn"]
-    # fuse q/k/v into one (L, D, 3D) matrix: one kernel launch and one
-    # larger HBM stream per layer instead of three.  Quantize the three
-    # pieces FIRST and concatenate int8 (per-channel scales concatenate
-    # exactly): concatenating the bf16 sources would transiently hold
-    # ~3.9 GB next to the full-precision tree and OOM a busy chip.
+    # fuse q/k/v/fc_in into one (L, D, 3D + F) "in_proj" matrix: all four
+    # consume the same LN output u (GPT-J parallel block), so they become
+    # ONE kernel launch and one larger HBM stream per layer instead of
+    # four.  Quantize the pieces FIRST and concatenate int8 (per-channel
+    # scales concatenate exactly): concatenating the bf16 sources would
+    # transiently hold ~8 GB next to the full-precision tree and OOM.
     pieces = [
         jax.jit(q_stacked)(attn.pop(k2)) for k2 in ("q", "k", "v")
     ]
-    attn["qkv"] = jax.jit(
+    pieces.append(jax.jit(q_stacked)(mlp_p["fc_in"].pop("kernel")))
+    attn["in_proj"] = jax.jit(
         lambda ps: {
             "q": jnp.concatenate([p["q"] for p in ps], axis=-1),
             "s": jnp.concatenate([p["s"] for p in ps], axis=-1),
@@ -277,14 +301,12 @@ def quantize_lm_params(params: Dict) -> Dict:
     )(pieces)
     del pieces
     attn["o"] = jax.jit(q_stacked)(attn["o"])
-    mlp = params["blocks"]["mlp"]
-    for k in ("fc_in", "fc_out"):
-        mlp[k]["kernel"] = jax.jit(q_stacked)(mlp[k]["kernel"])
+    mlp_p["fc_out"]["kernel"] = jax.jit(q_stacked)(mlp_p["fc_out"]["kernel"])
     # untied int8 output head from wte (embedding lookups keep bf16 wte)
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    return params
+    return _serving_cast_adapters(params)
 
 
 def quantize_lm_params_int4(params: Dict) -> Dict:
@@ -309,7 +331,7 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
 
     params.pop("lm_head_q", None)
     attn = params["blocks"]["attn"]
-    if "qkv" in attn:
+    if "qkv" in attn or "in_proj" in attn:
         raise ValueError("params already int8-quantized; int4 must start "
                          "from full-precision weights")
     for k in ("q", "k", "v", "o"):
@@ -318,13 +340,15 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     for k in ("fc_in", "fc_out"):
         mlp[k]["kernel"] = unwrap(mlp[k]["kernel"])
 
-    # quantize q/k/v separately, then concatenate the int4 payloads —
-    # valid because packing pairs rows along K, and group scales are per
-    # (group, channel); avoids a ~3.9 GB bf16 concat transient
+    # quantize q/k/v/fc_in separately, then concatenate the int4 payloads
+    # into one fused "in_proj" — valid because packing pairs rows along K,
+    # and group scales are per (group, channel); avoids an ~8 GB bf16
+    # concat transient
     pieces = [
         jax.jit(q4_stacked)(attn.pop(k2)) for k2 in ("q", "k", "v")
     ]
-    attn["qkv"] = jax.jit(
+    pieces.append(jax.jit(q4_stacked)(mlp["fc_in"].pop("kernel")))
+    attn["in_proj"] = jax.jit(
         lambda ps: {
             "q4": jnp.concatenate([p["q4"] for p in ps], axis=-1),
             "s4": jnp.concatenate([p["s4"] for p in ps], axis=-1),
@@ -332,12 +356,11 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     )(pieces)
     del pieces
     attn["o"] = jax.jit(q4_stacked)(attn["o"])
-    for k in ("fc_in", "fc_out"):
-        mlp[k]["kernel"] = jax.jit(q4_stacked)(mlp[k]["kernel"])
+    mlp["fc_out"]["kernel"] = jax.jit(q4_stacked)(mlp["fc_out"]["kernel"])
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    return params
+    return _serving_cast_adapters(params)
 
 
 def pack_lm_params_bf16(params: Dict) -> Dict:
@@ -369,7 +392,7 @@ def pack_lm_params_bf16(params: Dict) -> Dict:
     params["lm_head_q"] = wrap(
         jnp.swapaxes(params["wte"], 0, 1).astype(jnp.bfloat16)
     )
-    return params
+    return _serving_cast_adapters(params)
 
 
 def _layer_norm(x: jnp.ndarray, p: Dict, eps: float, out_dtype) -> jnp.ndarray:
@@ -436,7 +459,16 @@ def _block(
     u = _layer_norm(x, bp["ln_1"], cfg.ln_eps, cdt)
 
     # --- attention branch ---
-    if "qkv" in bp["attn"]:  # fused int8 projection (quantize_lm_params)
+    m_pre = None
+    if "in_proj" in bp["attn"]:
+        # fully fused input projection: [q | k | v | fc_in] in one kernel
+        # launch — both branches read the same LN output u, so the four
+        # serving matmuls with input u collapse into one (b, s, 3D + F)
+        fused = _mm(u, bp["attn"]["in_proj"], cdt)
+        qkv3 = fused[..., : 3 * D]
+        m_pre = fused[..., 3 * D:]
+        q, kk, v = (t.reshape(b, s, h, hd) for t in jnp.split(qkv3, 3, -1))
+    elif "qkv" in bp["attn"]:  # fused int8 projection (quantize_lm_params)
         fused = _mm(u, bp["attn"]["qkv"], cdt)        # (b, s, 3D)
         q, kk, v = (t.reshape(b, s, h, hd) for t in jnp.split(fused, 3, -1))
     else:
@@ -500,8 +532,9 @@ def _block(
     a = apply_adapter(bp.get("adapter_attn"), cfg.attn_adapter, u, a, cdt)
 
     # --- mlp branch (parallel, same LN output) ---
-    m = _mm(u, bp["mlp"]["fc_in"]["kernel"], cdt)
-    m = m + bp["mlp"]["fc_in"]["bias"].astype(cdt)
+    if m_pre is None:
+        m_pre = _mm(u, bp["mlp"]["fc_in"]["kernel"], cdt)
+    m = m_pre + bp["mlp"]["fc_in"]["bias"].astype(cdt)
     m = jax.nn.gelu(m, approximate=True)
     m = _mm(m, bp["mlp"]["fc_out"]["kernel"], cdt)
     m = m + bp["mlp"]["fc_out"]["bias"].astype(cdt)
@@ -561,7 +594,7 @@ def _run_blocks(
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
 
-    if "qkv" in blocks["attn"] or isinstance(
+    if any(k in blocks["attn"] for k in ("qkv", "in_proj")) or isinstance(
         blocks["attn"].get("q"), dict
     ):  # int8/int4-quantized weights
         return _run_blocks_quantized(
@@ -580,6 +613,21 @@ def _run_blocks(
             body = jax.checkpoint(body, prevent_cse=False)
         x, _ = jax.lax.scan(body, x, blocks)
         return x, None
+
+    if x.shape[1] == 1 and cfg.decode_unroll:
+        # decode step: unroll with static layer indices (see decode_unroll)
+        k_news, v_news = [], []
+        for i in range(cfg.n_layers):
+            bp = jax.tree_util.tree_map(lambda t: t[i], blocks)
+            x, (kn, vn) = _block(
+                cfg, bp, x, sin, cos, kv_len, (cache, i), cache_index,
+                read_history=read_history,
+            )
+            k_news.append(kn)
+            v_news.append(vn)
+        return x, _write_cache(
+            cache, jnp.stack(k_news), jnp.stack(v_news), cache_index
+        )
 
     def body(carry, layer_in):
         bp, idx = layer_in
@@ -615,12 +663,16 @@ def _run_blocks_quantized(
     tripling HBM traffic and erasing the int8 bandwidth win.
     """
     L = cfg.n_layers
-    attn_keys = ("qkv", "o") if "qkv" in blocks["attn"] else ("q", "k", "v", "o")
+    if "in_proj" in blocks["attn"]:
+        attn_keys = ("in_proj", "o")
+    elif "qkv" in blocks["attn"]:
+        attn_keys = ("qkv", "o")
+    else:
+        attn_keys = ("q", "k", "v", "o")
     big_attn = {k: blocks["attn"][k] for k in attn_keys}
-    big_mlp = {
-        "fc_in": blocks["mlp"]["fc_in"]["kernel"],
-        "fc_out": blocks["mlp"]["fc_out"]["kernel"],
-    }
+    big_mlp = {"fc_out": blocks["mlp"]["fc_out"]["kernel"]}
+    if "kernel" in blocks["mlp"]["fc_in"]:  # absent in the fused layout
+        big_mlp["fc_in"] = blocks["mlp"]["fc_in"]["kernel"]
     small = {
         k: v for k, v in blocks.items() if k not in ("attn", "mlp")
     }
@@ -638,11 +690,12 @@ def _run_blocks_quantized(
         for k in attn_keys:
             bp["attn"][k] = {**big_attn[k], "idx": idx}
         bp["mlp"] = {
-            "fc_in": {"kernel": {**big_mlp["fc_in"], "idx": idx},
-                      "bias": small_l["mlp"]["fc_in"]["bias"]},
+            "fc_in": {"bias": small_l["mlp"]["fc_in"]["bias"]},
             "fc_out": {"kernel": {**big_mlp["fc_out"], "idx": idx},
                        "bias": small_l["mlp"]["fc_out"]["bias"]},
         }
+        if "fc_in" in big_mlp:
+            bp["mlp"]["fc_in"]["kernel"] = {**big_mlp["fc_in"], "idx": idx}
         return bp
 
     if cache is None:
@@ -657,6 +710,21 @@ def _run_blocks_quantized(
             body = jax.checkpoint(body, prevent_cse=False)
         x, _ = jax.lax.scan(body, x, (small, jnp.arange(L)))
         return x, None
+
+    if x.shape[1] == 1 and cfg.decode_unroll:
+        # decode step: unroll with static layer indices (see decode_unroll)
+        k_news, v_news = [], []
+        for i in range(L):
+            small_l = jax.tree_util.tree_map(lambda t: t[i], small)
+            x, (kn, vn) = _block(
+                cfg, make_bp(small_l, i), x, sin, cos, kv_len,
+                (cache, i), cache_index, read_history=read_history,
+            )
+            k_news.append(kn)
+            v_news.append(vn)
+        return x, _write_cache(
+            cache, jnp.stack(k_news), jnp.stack(v_news), cache_index
+        )
 
     def body(carry, xs):
         small_l, idx = xs

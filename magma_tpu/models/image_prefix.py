@@ -102,6 +102,25 @@ def init_params(rng: jax.Array, cfg: ImagePrefixConfig) -> Tuple[Dict, Dict]:
     return params, {"enc": enc_stats}
 
 
+def fold_for_serving(
+    params: Dict, stats: Dict, cfg: ImagePrefixConfig
+) -> Dict:
+    """Serving transform: fold the encoder's inference-mode BN into its
+    conv weights (CLIP ResNets — see clip_resnet.fold_bn) and store the
+    projection in bf16, so the whole vision path runs bf16 without fp32
+    weight re-casts.  Returns a new params tree; ``apply`` with
+    ``train=False`` consumes it unchanged (stats become pass-through)."""
+    module, enc_cfg, _pooled = cfg.encoder
+    out = dict(params)
+    if module is clip_resnet and not clip_resnet.is_folded(params["enc"]):
+        out["enc"] = clip_resnet.fold_bn(params["enc"], stats["enc"], enc_cfg)
+    out["proj"] = {
+        "kernel": params["proj"]["kernel"].astype(jnp.bfloat16),
+        "bias": params["proj"]["bias"].astype(jnp.bfloat16),
+    }
+    return out
+
+
 def apply(
     params: Dict,
     stats: Dict,

@@ -365,7 +365,16 @@ class Magma:
             self.params["lm"] = quantize_lm_params_int4(self.params["lm"])
         else:
             raise ValueError(f"bits must be 8 or 4, got {bits}")
+        self._fold_vision()
         return self
+
+    def _fold_vision(self):
+        """Fold the vision tower's BN into conv weights + bf16 (serving;
+        see image_prefix.fold_for_serving).  Idempotent."""
+        self.params["image_prefix"] = ip_mod.fold_for_serving(
+            self.params["image_prefix"], self.state["image_prefix"],
+            self.prefix_config,
+        )
 
     def pack_for_serving(self) -> "Magma":
         """Pack the bf16 LM for full-precision serving: the big matrices
@@ -378,6 +387,7 @@ class Magma:
         from magma_tpu.models.gptj import pack_lm_params_bf16
 
         self.params["lm"] = pack_lm_params_bf16(self.params["lm"])
+        self._fold_vision()
         return self
 
     # ------------------------------------------------------------------

@@ -27,6 +27,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 from magma_tpu.ops.attention import NEG_INF  # shared masking constant
 
 
+def _mark_varying(t, axis_name):
+    """Mark a fresh constant as varying over ``axis_name`` for shard_map's
+    varying-type checker.  The API churned across jax releases —
+    ``pcast(..., to='varying')`` (0.9+), ``pvary`` (0.5.x–0.8,
+    deprecated after) — and older versions need no marking at all, so
+    probe at call time instead of pinning one spelling."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(t, axis_name, to="varying")
+    pvary = getattr(jax.lax, "pvary", None)
+    if pvary is not None:
+        return pvary(t, (axis_name,))
+    return t
+
+
 def _partial_attention(q, k, v, *, scale, q_offset, kv_offset, causal):
     """One ring step: scores + masked exp-stats for a local q block vs one
     rotated kv block.  Returns (m (b,h,sq,1), p_sum (b,h,sq,1),
@@ -87,7 +102,7 @@ def ring_attention(
                     kv_offset=kv_offset, causal=causal,
                 ),
                 lambda: tuple(
-                    jax.lax.pvary(t, (axis_name,))  # match varying types
+                    _mark_varying(t, axis_name)  # match varying types
                     for t in (
                         jnp.full((b, h, s_local, 1), -1e30, jnp.float32),
                         jnp.zeros((b, h, s_local, 1), jnp.float32),
@@ -120,7 +135,7 @@ def ring_attention(
     o0 = jnp.zeros((b, s_local, h, hd), jnp.float32)
     # fresh constants are unvarying over the mesh axis; the carry becomes
     # varying after the first step — mark them up front (shard_map typing)
-    m0, l0, o0 = (jax.lax.pvary(t, (axis_name,)) for t in (m0, l0, o0))
+    m0, l0, o0 = (_mark_varying(t, axis_name) for t in (m0, l0, o0))
     (m_f, l_f, o_f, _, _), _ = jax.lax.scan(
         step, (m0, l0, o0, k, v), jnp.arange(n)
     )

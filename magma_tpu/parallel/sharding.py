@@ -41,7 +41,7 @@ def _raw_lm_spec(path: str) -> P:
     if path.endswith("lm_head_q"):
         return P(None, "tp")  # (D, padded_vocab): vocab-sharded head
     if "/attn/" in path:
-        if path.endswith(("/q", "/k", "/v", "/qkv")):
+        if path.endswith(("/q", "/k", "/v", "/qkv", "/in_proj")):
             return P(None, None, "tp")
         if path.endswith("/o"):
             return P(None, "tp", None)

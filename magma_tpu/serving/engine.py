@@ -241,6 +241,15 @@ class LMServingEngine:
             raise ValueError(
                 f"prompt length {embeds.shape[1]} > max_len {self.max_len}"
             )
+        if embeds.shape[1] == self.max_len and max_new_tokens > 1:
+            # a full-cache prompt has no room for decode writes: it would
+            # retire with reason "length" after only the prefill-sampled
+            # token — surprise the caller with an error instead
+            raise ValueError(
+                f"prompt length equals max_len ({self.max_len}): at most 1 "
+                f"token can be generated, but max_new_tokens="
+                f"{max_new_tokens}; shorten the prompt or raise max_len"
+            )
         req_id = self._next_id
         self._next_id += 1
         self.pending.append((req_id, embeds, int(max_new_tokens)))
@@ -297,15 +306,27 @@ class LMServingEngine:
                 continue
             if self._inflight is not None and self._inflight.slot_id == slot_id:
                 continue
-            req_id, embeds, max_new = self.pending.popleft()
+            # pick the first ADMISSIBLE pending request, not merely the
+            # head: while one chunked prefill is in flight, a long prompt
+            # at the head must not block shorter requests behind it from
+            # taking other free slots (head-of-line fairness)
+            pick = None
+            for i, (_, embeds_i, _) in enumerate(self.pending):
+                needs_chunk = (self.prefill_chunk
+                               and embeds_i.shape[1] > self.prefill_chunk)
+                if needs_chunk and self._inflight is not None:
+                    continue
+                pick = i
+                break
+            if pick is None:
+                break  # every pending request is chunk-blocked
+            req_id, embeds, max_new = self.pending[pick]
+            del self.pending[pick]
             s = embeds.shape[1]
             if self.prefill_chunk and s > self.prefill_chunk:
                 # incremental: one chunk now, the rest between windows.
                 # The scratch rounds up to a chunk multiple so the padded
                 # final chunk writes in range (_install_slot trims).
-                if self._inflight is not None:
-                    self.pending.appendleft((req_id, embeds, max_new))
-                    continue
                 C = self.prefill_chunk
                 scratch_len = -(-self.max_len // C) * C
                 scratch = gptj.init_kv_cache(self.cfg, 1, scratch_len)

@@ -103,3 +103,52 @@ def test_clip_preprocess_graph():
     sq = (np.random.rand(1, 64, 64, 3) * 255).astype(np.uint8)
     out2 = np.asarray(clip_preprocess(jnp.asarray(sq), 64))
     assert out2.shape == (1, 3, 64, 64)
+
+
+def test_clip_resnet_bn_folding_matches_eval():
+    """fold_bn (serving) must reproduce inference-mode BN+conv within bf16
+    rounding; the folded tree drops the bn entries and runs bf16-only."""
+    cfg = clip_resnet.ClipResNetConfig(**TINY_RN)
+    params, stats = clip_resnet.init_params(jax.random.PRNGKey(0), cfg)
+    # non-trivial BN stats/affine so folding is actually exercised
+    stats = jax.tree_util.tree_map(
+        lambda t: t + 0.05 * jnp.arange(t.size, dtype=t.dtype) / t.size,
+        stats,
+    )
+    params = jax.tree_util.tree_map(
+        lambda t: t * 1.01 if t.ndim == 1 else t, params
+    )
+    imgs = _images()
+    ref, _ = clip_resnet.apply(params, stats, imgs, cfg, train=False)
+    folded = clip_resnet.fold_bn(params, stats, cfg)
+    assert clip_resnet.is_folded(folded)
+    out, same_stats = clip_resnet.apply(folded, stats, imgs, cfg, train=False)
+    assert same_stats is stats
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.15, rtol=0.1,
+    )
+    # scale check: outputs are O(1) activations, so atol 0.15 is ~bf16 noise
+    assert float(jnp.abs(ref).mean()) > 0.03
+    with pytest.raises(AssertionError):
+        clip_resnet.apply(folded, stats, imgs, cfg, train=True)
+
+
+def test_image_prefix_fold_for_serving():
+    cfg = ip.ImagePrefixConfig(
+        encoder_name="clip_rn50", out_dim=32, use_layernorm=True,
+        encoder_overrides=tuple(sorted(TINY_RN.items())),
+    )
+    params, stats = ip.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = _images()
+    ref, _ = ip.apply(params, stats, imgs, cfg, train=False)
+    folded = ip.fold_for_serving(params, stats, cfg)
+    assert folded["proj"]["kernel"].dtype == jnp.bfloat16
+    out, _ = ip.apply(folded, stats, imgs, cfg, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.2, rtol=0.1,
+    )
+    # idempotent
+    again = ip.fold_for_serving(folded, stats, cfg)
+    assert clip_resnet.is_folded(again["enc"])

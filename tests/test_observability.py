@@ -124,6 +124,6 @@ def test_quantize_for_serving_int4_facade():
     m = Magma(cfg)
     emb = m.embed([np.zeros((1, 3, 32, 32), np.float32)])
     m.quantize_for_serving(bits=4)
-    assert "q4" in m.params["lm"]["blocks"]["attn"]["qkv"]
+    assert "q4" in m.params["lm"]["blocks"]["attn"]["in_proj"]
     toks = m.generate(emb, max_steps=3, temperature=0.0, decode=False)
     assert np.asarray(toks).shape == (1, 3)

@@ -55,9 +55,12 @@ def test_quantized_lm_matches_full_precision():
     p0 = gptj.init_params(jax.random.PRNGKey(0), cfg)
     l0, _ = gptj.forward(cfg, p0, emb)
     qp = gptj.quantize_lm_params(gptj.init_params(jax.random.PRNGKey(0), cfg))
-    # q/k/v fused into one int8 matrix (one kernel launch per layer)
-    assert qp["blocks"]["attn"]["qkv"]["q"].dtype == jnp.int8
-    assert qp["blocks"]["attn"]["qkv"]["q"].shape[-1] == 3 * cfg.d_model
+    # q/k/v/fc_in fused into one int8 matrix (one kernel launch per layer)
+    assert qp["blocks"]["attn"]["in_proj"]["q"].dtype == jnp.int8
+    assert qp["blocks"]["attn"]["in_proj"]["q"].shape[-1] == (
+        3 * cfg.d_model + cfg.d_ff
+    )
+    assert "kernel" not in qp["blocks"]["mlp"]["fc_in"]
     assert "lm_head_q" in qp
     l1, _ = gptj.forward(cfg, qp, emb)
     assert int(jnp.argmax(l0[0, -1])) == int(jnp.argmax(l1[0, -1]))
