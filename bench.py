@@ -63,6 +63,11 @@ def main():
     ip_params, ip_stats = jax.jit(
         lambda k: ip_mod.init_params(k, prefix_cfg)
     )(jax.random.PRNGKey(1))
+    # serving transform: fold BN into conv weights, bf16 end to end
+    # (same call quantize_for_serving/pack_for_serving make)
+    ip_params = jax.jit(
+        lambda p, s: ip_mod.fold_for_serving(p, s, prefix_cfg)
+    )(ip_params, ip_stats)
 
     raw = jax.random.randint(
         jax.random.PRNGKey(2), (1, 480, 640, 3), 0, 256, jnp.uint8

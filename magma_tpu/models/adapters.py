@@ -95,6 +95,17 @@ def init_adapter(
     return params
 
 
+def _proj(x: jnp.ndarray, kernel, compute_dtype) -> jnp.ndarray:
+    """Bottleneck projection; ``kernel`` is a raw array or an int8-packed
+    {"q", "s"} dict (serving — gptj._serving_cast_adapters)."""
+    if isinstance(kernel, dict):
+        from magma_tpu.ops.quant import int8_matmul
+
+        return int8_matmul(x, kernel["q"], kernel["s"],
+                           out_dtype=compute_dtype)
+    return jnp.dot(x, kernel.astype(compute_dtype))
+
+
 def _bottleneck(params: dict, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     """up(relu(down(maybe_ln(x)))) for a single layer's (unstacked) params."""
     h = x
@@ -107,15 +118,13 @@ def _bottleneck(params: dict, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
             h32 * params["ln"]["scale"].astype(jnp.float32)
             + params["ln"]["bias"].astype(jnp.float32)
         ).astype(compute_dtype)
-    h = (
-        jnp.dot(h, params["down"]["kernel"].astype(compute_dtype))
-        + params["down"]["bias"].astype(compute_dtype)
-    )
+    h = _proj(h, params["down"]["kernel"], compute_dtype) + params["down"][
+        "bias"
+    ].astype(compute_dtype)
     h = jax.nn.relu(h)
-    h = (
-        jnp.dot(h, params["up"]["kernel"].astype(compute_dtype))
-        + params["up"]["bias"].astype(compute_dtype)
-    )
+    h = _proj(h, params["up"]["kernel"], compute_dtype) + params["up"][
+        "bias"
+    ].astype(compute_dtype)
     return h
 
 

@@ -37,6 +37,7 @@ import dataclasses
 from typing import Dict, List, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 VARIANTS = {
@@ -116,9 +117,11 @@ def _bn(x, p, s, *, eps, momentum, train):
 
 
 def _avgpool(x, k):
+    # init value must be a dtype-matched SCALAR (not an array): the
+    # reduce-window-sum autodiff rule only fires on constant-init adds
     return jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add, (1, k, k, 1), (1, k, k, 1),
-        "VALID",
+        x, np.zeros((), jax.dtypes.canonicalize_dtype(x.dtype))[()],
+        jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID",
     ) / jnp.asarray(k * k, x.dtype)
 
 

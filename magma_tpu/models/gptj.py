@@ -61,12 +61,6 @@ class GPTJConfig:
     # (they are the trainable set; optimizer quality wants fp32)
     adapter_param_dtype: Any = jnp.float32
     attention_impl: str = "flash"
-    # decode cache read: "xla" (dynamic per-layer slice fused into the
-    # attention einsum; reliably fast) or "pallas" (ops/decode_kernel —
-    # double-buffered manual DMA reads only the *valid* cache prefix, but
-    # per-call kernel latency in the serial decode chain made it measure
-    # slower end-to-end on v5e; kept opt-in pending a fix)
-    decode_impl: str = "xla"
     # "bf16" or "int8" (per-position/head scales; halves decode cache BW)
     kv_cache_dtype: str = "bf16"
     # Unroll the layer loop for s == 1 decode steps.  Static layer indices
@@ -173,7 +167,7 @@ def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
     (layer, row, position) — halving the dominant HBM stream of
     long-context decode.  Quantization happens at write time
     (``_write_cache``); the decode kernel dequantizes by folding the
-    scales into the score / p-weight columns (ops/decode_kernel.py).
+    scales into the decode-attention read (gptj._layer_cache).
 
     The scale is replicated across a 128-wide trailing lane dim: Mosaic
     only loads VMEM tiles whose minor dim is lane-aligned, so a compact
@@ -241,17 +235,43 @@ def _mm(x: jnp.ndarray, w, cdt) -> jnp.ndarray:
     return jnp.dot(x, w.astype(cdt))
 
 
-def _serving_cast_adapters(params: Dict, dtype=jnp.bfloat16) -> Dict:
-    """Cast adapter params to bf16 for serving.  Adapters keep fp32
+def _serving_cast_adapters(params: Dict, mode: str = "bf16") -> Dict:
+    """Shrink the adapters' serving footprint.  Adapters keep fp32
     masters for training, but at decode time they are the only sizable
     non-quantized per-layer stream: the v1 recipe (k=4) reads ~0.9 GB of
     fp32 adapter weights per generated token on the 6B — ~1.2 ms/token of
-    pure HBM traffic that bf16 halves.  Mutates (and returns) params."""
+    pure HBM traffic.  ``mode="bf16"`` halves it (lossless in practice);
+    ``mode="int8"`` quarters the bytes but puts the two bottleneck
+    matmuls on the Pallas int8 kernel — measured SLOWER end to end in the
+    unrolled decode (two extra serial kernel launches per layer cost more
+    than the 8 MB/layer of DMA they save), so the quantized serving paths
+    use bf16; int8 stays available for memory-constrained deployments.
+    Bottleneck kernels become {"q", "s"} dicts; biases/LN/scale stay
+    bf16.  Mutates params."""
+    from magma_tpu.ops.quant import quantize_int8
+
+    def pack(leaf_path, t):
+        # lane-alignment guard: the Pallas int8 kernel needs K, N % 128
+        # (tiny test configs fall back to bf16)
+        if (mode == "int8" and leaf_path == "kernel" and t.ndim == 3
+                and t.shape[-1] % 128 == 0 and t.shape[-2] % 128 == 0):
+            return quantize_int8(t)  # (L, K, N) -> per-(L, channel) scales
+        return t.astype(jnp.bfloat16)
+
     for key in ("adapter_mlp", "adapter_attn"):
-        if key in params["blocks"]:
-            params["blocks"][key] = jax.tree_util.tree_map(
-                lambda t: t.astype(dtype), params["blocks"][key]
-            )
+        if key not in params["blocks"]:
+            continue
+        ad = params["blocks"][key]
+        for proj in ("down", "up"):
+            ad[proj] = {
+                "kernel": pack("kernel", ad[proj]["kernel"]),
+                "bias": pack("bias", ad[proj]["bias"]),
+            }
+        for extra in ("ln", "scale"):
+            if extra in ad:
+                ad[extra] = jax.tree_util.tree_map(
+                    lambda t: t.astype(jnp.bfloat16), ad[extra]
+                )
     return params
 
 
@@ -306,7 +326,7 @@ def quantize_lm_params(params: Dict) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    return _serving_cast_adapters(params)
+    return _serving_cast_adapters(params, mode="bf16")
 
 
 def quantize_lm_params_int4(params: Dict) -> Dict:
@@ -360,7 +380,7 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    return _serving_cast_adapters(params)
+    return _serving_cast_adapters(params, mode="bf16")
 
 
 def pack_lm_params_bf16(params: Dict) -> Dict:
@@ -506,23 +526,15 @@ def _block(
                 q, kk, v, scale=scale, impl=cfg.attention_impl,
                 kv_len=kv_len, q_offset=0,
             )
-        elif jax.default_backend() == "tpu" and cfg.decode_impl == "pallas":
-            # fused Pallas decode over the stacked cache (ops/decode_kernel)
-            from magma_tpu.ops.decode_kernel import decode_attention_stacked
-
-            try:
-                attn = decode_attention_stacked(
-                    q, cache_d["k"], cache_d["v"], layer_idx, idx, (kk, v),
-                    scale=scale,
-                    k_scale=cache_d.get("k_scale"),
-                    v_scale=cache_d.get("v_scale"),
-                )
-            except NotImplementedError:
-                # cache geometry unsupported (len % 128, head_dim % 128):
-                # fall back to the XLA path below
-                attn = _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v,
-                                   scale)
         else:
+            # decode step.  A hand-written Pallas decode-attention kernel
+            # (manual double-buffered DMA over only the valid cache
+            # prefix) was built and benched in rounds 1-2; it LOSES to
+            # this XLA path in situ because serial-chain Pallas launches
+            # cost ~100-170 us each on this platform, so it was removed
+            # (VERDICT r2 item 7).  With the unrolled decode loop the
+            # per-layer cache reads are static slices fused into the
+            # attention einsum — no copies, no launch latency.
             attn = _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v,
                                scale)
 

@@ -28,7 +28,8 @@ import numpy as np
 from magma_tpu.config import MultimodalConfig
 from magma_tpu.models import gptj, image_prefix as ip_mod
 from magma_tpu.models.adapters import AdapterSpec
-from magma_tpu.ops.sampling import generate_tokens, strip_after_eos
+from magma_tpu.ops.sampling import (generate_tokens, generate_tokens_split,
+                                    strip_after_eos)
 from magma_tpu.tokenizer import get_tokenizer
 from magma_tpu.training.labels import (
     build_labels,
@@ -261,7 +262,16 @@ class Magma:
             prompt_len = jnp.int32(s)
         else:
             prompt_len = jnp.asarray(prompt_len, jnp.int32)
-        tokens, _ = generate_tokens(
+        # large (batch x context) combinations route to the split
+        # prefill + decode-window path: the monolithic while-loop program
+        # compiled the prompt-shaped prefill INTO the decode loop, and at
+        # b=8 x ctx-2048 that single program crashed XLA's compile helper
+        # (the reference's eager loop served any shape,
+        # magma/sampling.py:43-121).  Token-identical; tested.
+        b = embeddings.shape[0]
+        gen = (generate_tokens_split
+               if b * embeddings.shape[1] > 8192 else generate_tokens)
+        tokens, _ = gen(
             self.lm_config, self.params["lm"], embeddings, rng,
             max_steps=max_steps, temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p), eos_token=self.eos_token,

@@ -430,7 +430,9 @@ def _int4_matmul_stacked_kernel(idx_ref, xlo_ref, xhi_ref, w_ref,
 
     p32 = w_ref[0].astype(jnp.int32)               # (bkp, bn)
     lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
-    hi = ((p32 << 24) >> 28).astype(jnp.bfloat16)
+    # sext(byte) >> 4 IS the signed high nibble: one shift, not two
+    # (measured ~5% on the serial decode chain; bit-identical)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
     plo = jax.lax.dot(
         xlo_ref[...].astype(jnp.bfloat16), lo,
         preferred_element_type=jnp.float32,

@@ -31,6 +31,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = float("-inf")
 
@@ -199,6 +200,136 @@ def generate_tokens(
     state = (jnp.int32(0), tokens0, cache, last, done0, prompt_len)
     step, tokens, *_ = jax.lax.while_loop(cond, body, state)
     return tokens, step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def _split_prefill(cfg, params, embeddings, prompt_len, *, max_steps):
+    """Prefill program of the split generate: builds a cache sized for
+    ``max_steps`` decode positions and returns it with the last true
+    position's logits."""
+    from magma_tpu.models import gptj
+
+    b, s, _ = embeddings.shape
+    per_row = prompt_len.ndim == 1
+    cache = gptj.init_kv_cache(cfg, b, s + max_steps)
+    hidden, cache = gptj.forward(
+        cfg, params, embeddings, cache=cache, cache_index=jnp.int32(0),
+        kv_len=jnp.broadcast_to(prompt_len, (b,)), remat=False,
+        return_hidden=True,
+    )
+    if per_row:
+        last_h = jnp.take_along_axis(
+            hidden, (prompt_len - 1)[:, None, None], axis=1
+        )
+    else:
+        last_h = jax.lax.dynamic_slice_in_dim(
+            hidden, prompt_len - 1, 1, axis=1
+        )
+    last = gptj.lm_head(cfg, params, last_h)[:, 0]
+    return cache, last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "temperature", "top_k", "top_p",
+                     "eos_token", "top_p_mode"),
+    donate_argnames=("cache",),
+)
+def _split_window(cfg, params, cache, last_logits, done, cur_len, rng,
+                  step0, *, window, temperature, top_k, top_p, eos_token,
+                  top_p_mode):
+    """``window`` decode steps in one program.  Semantics mirror
+    ``generate_tokens``'s loop body exactly (same rng folding by global
+    step index, same EOS holding), so the split path is token-identical.
+    The final window may compute forwards past the last needed token —
+    their logits are never consumed (cost: < one window of steps)."""
+    from magma_tpu.models import gptj
+
+    def body(carry, i):
+        cache, last, done, cur_len = carry
+        tok = sample_token(
+            jax.random.fold_in(rng, step0 + i), last,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
+        )
+        tok = jnp.where(done, jnp.int32(eos_token), tok)
+        done = jnp.logical_or(done, tok == eos_token)
+        emb = gptj.embed_tokens(cfg, params, tok[:, None])
+        logits, cache = gptj.forward(
+            cfg, params, emb, cache=cache, cache_index=cur_len, remat=False,
+        )
+        return (cache, logits[:, -1], done, cur_len + 1), tok
+
+    (cache, last, done, cur_len), toks = jax.lax.scan(
+        body, (cache, last_logits, done, cur_len), jnp.arange(window)
+    )
+    return cache, last, done, cur_len, toks.T  # (b, window)
+
+
+def generate_tokens_split(
+    cfg,
+    params,
+    embeddings: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    max_steps: int = 100,
+    temperature: float = 0.7,
+    top_k: int = 0,
+    top_p: float = 0.9,
+    eos_token: int = 50256,
+    prompt_len: Optional[jnp.ndarray] = None,
+    top_p_mode: str = "reference",
+    window: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``generate_tokens`` as TWO compiled programs — prefill and a
+    reusable decode window — instead of one monolithic while-loop
+    program.  Token-identical output (same rng stream, same EOS
+    semantics); early exit is checked on the host at window granularity.
+
+    Why it exists: the single-program path compiles prompt-shape-specific
+    prefill INTO the decode loop, so very large (batch x context)
+    combinations compile one huge program (b=8 x ctx-2048 crashed XLA's
+    compile helper in round 2 — the reference's eager loop handled any
+    shape, magma/sampling.py:43-121).  Splitting keeps each program small,
+    reuses the decode window across prompt shapes, and bounds compile
+    memory.  ``Magma.generate`` routes here automatically above a size
+    threshold.
+    """
+    b, s, _ = embeddings.shape
+    if prompt_len is None:
+        prompt_len = jnp.int32(s)
+    else:
+        prompt_len = jnp.asarray(prompt_len).astype(jnp.int32)
+
+    cache, last = _split_prefill(
+        cfg, params, embeddings, prompt_len, max_steps=max_steps,
+    )
+    done = jnp.zeros((b,), jnp.bool_)
+    cur_len = jnp.broadcast_to(prompt_len, (b,))
+
+    out = []
+    step = 0
+    while step < max_steps:
+        w = min(window, max_steps - step)
+        cache, last, done, cur_len, toks = _split_window(
+            cfg, params, cache, last, done, cur_len, rng, jnp.int32(step),
+            window=w, temperature=temperature, top_k=top_k, top_p=top_p,
+            eos_token=eos_token, top_p_mode=top_p_mode,
+        )
+        out.append(np.asarray(toks))
+        step += w
+        if bool(np.asarray(done).all()):
+            break
+
+    tokens = np.concatenate(out, axis=1)
+    n_steps = tokens.shape[1]
+    if n_steps < max_steps:  # early exit: pad with EOS like the while-loop
+        tokens = np.concatenate(
+            [tokens,
+             np.full((b, max_steps - n_steps), eos_token, np.int32)],
+            axis=1,
+        )
+    return jnp.asarray(tokens), jnp.int32(min(n_steps, max_steps))
 
 
 def strip_after_eos(row, eos_token: int, image_token: int):

@@ -1,35 +1,51 @@
-"""Continuous-batching serving engine over a slot-based KV cache.
+"""Continuous-batching serving engine over size-classed KV cache pools.
 
 The reference framework decodes one prompt at a time (an eager HF loop,
 magma/sampling.py:43-121).  This engine is the TPU-native production
-counterpart: a single resident (L, B, max_len, h, hd) KV cache on device
-(bf16 or int8 — gptj.init_kv_cache), requests mapped to batch *slots*,
-and two compiled programs that serve every request shape:
+counterpart: resident KV cache pools on device, requests mapped to batch
+*slots*, and a small set of compiled programs that serve every request
+shape:
 
 * ``prefill``: runs the prompt through the LM into a 1-row scratch cache,
-  scatters that row into the engine cache at the assigned slot, and
+  scatters that row into the slot's pool at the assigned slot, and
   samples the first token.  Prompts are right-padded to a bucket multiple
   so one executable serves a whole bucket of lengths (padding is masked
   via ``kv_len``; the first token reads the last *true* position).
-* ``decode``: one token step for ALL slots at once — per-row cache
-  positions (``cache_index``/``cur_len`` are (B,) arrays), per-row EOS
-  masking.  Finished/empty slots still ride along (their writes land
-  behind their frozen ``cur_len`` and are overwritten by the next
-  prefill), so the step shape never changes and nothing recompiles.
+* ``decode``: one window of token steps for ALL slots of a pool at once —
+  per-row cache positions (``cache_index``/``cur_len`` are (B,) arrays),
+  per-row EOS masking.  Finished/empty slots still ride along (their
+  writes land behind their frozen ``cur_len`` and are overwritten by the
+  next prefill), so the step shape never changes and nothing recompiles.
 
-Scheduling is plain continuous batching: after every decode step the
+**Size-classed cache pools (the TPU answer to paged KV).**  A dense
+(B, max_len) cache wastes HBM when most requests are short: a 64-token
+chat reply pins a 2048-position row.  vLLM-style 128-token pages do not
+map well onto this platform: a per-layer paged-attention Pallas kernel
+pays the measured ~100-170 us serial-chain launch latency 28x per token
+(the same reason the hand-written decode kernel lost to XLA and was
+removed), and an XLA gather of the page table re-materializes the
+gathered cache every step — GB/token of pure copy at long context.
+Instead the engine allocates SEVERAL pools of different sequence
+capacities (e.g. 8 slots x 2048 plus 16 slots x 512) and routes each
+request to the smallest class that fits ``prompt + max_new_tokens``.
+Every pool keeps the dense layout XLA fuses perfectly (static slices in
+the unrolled decode), short requests cost a quarter of the residency,
+and attention for short-class slots reads a quarter of the cache.  This
+is paging at class granularity: same capability (2-4x more resident
+requests on mixed traces), none of the per-step gather/launch taxes.
+
+**Piggybacked chunked prefill.**  Long prompts prefill incrementally
+(``prefill_chunk`` tokens at a time) so an arriving 2000-token prompt
+does not stall other slots for its whole prefill; the chunk rides INSIDE
+the next decode-window dispatch (one fused program runs the chunk and
+the window back to back), so chunked prefill costs zero extra
+host->device round trips (1-3 ms each on tunneled transports).
+
+Scheduling is plain continuous batching: after every decode window the
 host admits pending requests into free slots (prefill), appends the new
-token of each active slot, and retires rows that hit EOS or their token
-budget.  Only (B,) int32 tokens cross device->host per step — the logits
-and the sampling stay on device (D2H of large buffers is pathologically
-slow through tunneled TPU transports).
-
-Long prompts can prefill incrementally (``prefill_chunk``): one chunk —
-attending to the cache history plus itself — between decode windows, so
-an arriving 2000-token prompt does not stall every other slot for its
-whole prefill.  Remaining simplification vs. state-of-the-art engines:
-the cache is dense per slot (no paging) — with B slots of ``max_len``
-the int8 cache keeps 6B-scale serving well inside one v5e chip.
+tokens of each active slot, and retires rows that hit EOS or their token
+budget.  Only (B,) int32 tokens cross device->host per window — the
+logits and the sampling stay on device.
 """
 
 from __future__ import annotations
@@ -37,7 +53,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +72,7 @@ class _Slot:
 
 @dataclasses.dataclass
 class _InflightPrefill:
+    group_id: int
     slot_id: int
     req_id: int
     embeds: object          # (1, s, D) full prompt
@@ -72,11 +89,27 @@ class FinishedRequest:
     finish_reason: str         # "eos" | "length"
 
 
+class _CacheGroup:
+    """One size class: a dense (B, max_len) cache pool + host bookkeeping."""
+
+    def __init__(self, cfg, max_batch: int, max_len: int, eos_token: int):
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.cache = gptj.init_kv_cache(cfg, max_batch, max_len)
+        self.cur_lens = np.zeros(max_batch, np.int32)
+        self.last_toks = np.full(max_batch, eos_token, np.int32)
+        self.slots: List[Optional[_Slot]] = [None] * max_batch
+
+    @property
+    def active(self) -> np.ndarray:
+        return np.array([s is not None for s in self.slots])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "scratch_len"))
 def _prefill_full(cfg, params, embeds, prompt_len, *, scratch_len):
     """Whole-prompt prefill into a fresh 1-row scratch cache.  Returns
     (scratch, hidden of the last true position); _install_slot scatters
-    the scratch into the engine cache and samples the first token."""
+    the scratch into the group cache and samples the first token."""
     scratch = gptj.init_kv_cache(cfg, 1, scratch_len)
     hidden, scratch = gptj.forward(
         cfg, params, embeds, cache=scratch, cache_index=jnp.int32(0),
@@ -87,15 +120,10 @@ def _prefill_full(cfg, params, embeds, prompt_len, *, scratch_len):
     return scratch, last_h
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg",),
-    donate_argnames=("scratch",),
-)
-def _prefill_chunk(cfg, params, scratch, emb_chunk, offset, true_len):
+def _chunk_body(cfg, params, scratch, emb_chunk, offset, true_len):
     """One chunk of an incremental prefill into a 1-row scratch cache:
     the chunk attends to the already-written history [0, offset) AND
-    causally to itself (gptj read_history).  Returns (scratch, hidden of
-    the chunk's last true position)."""
+    causally to itself (gptj read_history)."""
     hidden, scratch = gptj.forward(
         cfg, params, emb_chunk, cache=scratch, cache_index=offset,
         kv_len=jnp.broadcast_to(true_len, (1,)), remat=False,
@@ -106,17 +134,23 @@ def _prefill_chunk(cfg, params, scratch, emb_chunk, offset, true_len):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("scratch",),
+)
+def _prefill_chunk(cfg, params, scratch, emb_chunk, offset, true_len):
+    return _chunk_body(cfg, params, scratch, emb_chunk, offset, true_len)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cfg", "temperature", "top_k", "top_p", "top_p_mode"),
     donate_argnames=("cache",),
 )
 def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
                   temperature, top_k, top_p, top_p_mode):
-    """Scatter a finished scratch prefill into the engine cache at
-    ``slot`` and sample the request's first token.  The scratch may be
-    longer than the engine cache (chunked prefill rounds its length up to
-    a chunk multiple so a padded final chunk never writes out of range —
-    dynamic_update_slice would silently clamp-and-corrupt)."""
+    """Scatter a finished scratch prefill into a group cache at ``slot``
+    and sample the request's first token.  The scratch may be longer than
+    the group cache (chunked prefill rounds its length up to a chunk
+    multiple so a padded final chunk never writes out of range)."""
     max_len = cache["k"].shape[2]
     cache = {
         name: jax.lax.dynamic_update_slice(
@@ -133,23 +167,9 @@ def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
     return cache, tok[0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_steps", "temperature", "top_k", "top_p",
-                     "top_p_mode", "eos_token"),
-    donate_argnames=("cache",),   # in-place cache writes
-)
-def _decode(cfg, params, cache, last_toks, cur_lens, active, rng, *,
-            n_steps, temperature, top_k, top_p, top_p_mode, eos_token):
-    """``n_steps`` decode steps for every slot in one program.  Returns
-    (cache, tokens (B, n_steps)).
-
-    Running a window of steps per dispatch amortizes the host->device
-    round trip (1-3 ms on tunneled transports) over n tokens.  The
-    active mask is frozen for the window; rows that hit EOS inside it
-    keep decoding into positions the host will discard — their slots get
-    retired (and the cache rows overwritten by the next prefill) anyway.
-    """
+def _window_body(cfg, params, cache, last_toks, cur_lens, active, rng, *,
+                 n_steps, temperature, top_k, top_p, top_p_mode, eos_token):
+    """``n_steps`` decode steps for every slot of one pool."""
 
     def step(carry, i):
         cache, toks, lens = carry
@@ -173,13 +193,62 @@ def _decode(cfg, params, cache, last_toks, cur_lens, active, rng, *,
     return cache, toks.T  # (B, n_steps)
 
 
-class LMServingEngine:
-    """Continuous batching over ``max_batch`` KV-cache slots.
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "temperature", "top_k", "top_p",
+                     "top_p_mode", "eos_token"),
+    donate_argnames=("cache",),   # in-place cache writes
+)
+def _decode(cfg, params, cache, last_toks, cur_lens, active, rng, *,
+            n_steps, temperature, top_k, top_p, top_p_mode, eos_token):
+    """A decode window alone.  Running a window of steps per dispatch
+    amortizes the host->device round trip over n tokens.  The active mask
+    is frozen for the window; rows that hit EOS inside it keep decoding
+    into positions the host will discard — their slots get retired (and
+    the cache rows overwritten by the next prefill) anyway."""
+    return _window_body(
+        cfg, params, cache, last_toks, cur_lens, active, rng,
+        n_steps=n_steps, temperature=temperature, top_k=top_k, top_p=top_p,
+        top_p_mode=top_p_mode, eos_token=eos_token,
+    )
 
-    Parameters mirror ``generate_tokens``; sampling settings are engine-
-    wide (one compiled decode program).  ``kv_cache_dtype`` comes from
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "temperature", "top_k", "top_p",
+                     "top_p_mode", "eos_token"),
+    donate_argnames=("cache", "scratch"),
+)
+def _decode_with_chunk(cfg, params, cache, last_toks, cur_lens, active, rng,
+                       scratch, emb_chunk, offset, true_len, *,
+                       n_steps, temperature, top_k, top_p, top_p_mode,
+                       eos_token):
+    """Piggybacked dispatch: ONE program that advances the in-flight
+    chunked prefill (independent scratch cache) and runs a decode window
+    (pool cache).  The two halves touch disjoint state, so XLA may
+    overlap them; either way the chunk stops costing its own
+    host->device round trip."""
+    scratch, last_h = _chunk_body(
+        cfg, params, scratch, emb_chunk, offset, true_len
+    )
+    cache, toks = _window_body(
+        cfg, params, cache, last_toks, cur_lens, active, rng,
+        n_steps=n_steps, temperature=temperature, top_k=top_k, top_p=top_p,
+        top_p_mode=top_p_mode, eos_token=eos_token,
+    )
+    return cache, toks, scratch, last_h
+
+
+class LMServingEngine:
+    """Continuous batching over size-classed KV cache pools.
+
+    ``cache_classes``: sequence of (slots, max_len) pools, e.g.
+    ``((8, 2048), (16, 512))``.  Default: one pool of
+    (``max_batch``, ``max_len``) — the round-2 behavior.  Requests route
+    to the smallest class whose capacity covers prompt + max_new_tokens.
+    Sampling settings are engine-wide; ``kv_cache_dtype`` comes from
     ``cfg`` — pass a config with ``kv_cache_dtype="int8"`` to halve the
-    resident cache.
+    resident pools.
     """
 
     def __init__(
@@ -189,6 +258,7 @@ class LMServingEngine:
         *,
         max_batch: int = 8,
         max_len: int = 2048,
+        cache_classes: Optional[Sequence[Tuple[int, int]]] = None,
         eos_token: int = 50256,
         temperature: float = 0.0,
         top_k: int = 0,
@@ -201,8 +271,11 @@ class LMServingEngine:
     ):
         self.cfg = cfg
         self.params = params
-        self.max_batch = max_batch
-        self.max_len = max_len
+        if cache_classes is None:
+            cache_classes = ((max_batch, max_len),)
+        # ascending capacity: admission picks the first class that fits
+        self.classes = sorted(cache_classes, key=lambda c: c[1])
+        self.max_len = max(c[1] for c in self.classes)
         self.eos_token = eos_token
         self.sampling = dict(
             temperature=float(temperature), top_k=int(top_k),
@@ -213,8 +286,7 @@ class LMServingEngine:
         # requests are admitted at window boundaries
         self.decode_window = max(1, int(decode_window))
         # >0: long prompts prefill incrementally, prefill_chunk tokens
-        # between decode windows (gptj read_history attention) — a long
-        # prompt no longer stalls every other slot for its whole prefill.
+        # piggybacked on decode-window dispatches (see module docstring).
         # One chunked prefill is in flight at a time (bounds the scratch
         # cache to one extra row).
         self.prefill_chunk = int(prefill_chunk)
@@ -223,10 +295,9 @@ class LMServingEngine:
         self._step_count = 0
         self._next_id = 0
 
-        self.cache = gptj.init_kv_cache(cfg, max_batch, max_len)
-        self.cur_lens = np.zeros(max_batch, np.int32)
-        self.last_toks = np.full(max_batch, eos_token, np.int32)
-        self.slots: List[Optional[_Slot]] = [None] * max_batch
+        self.groups = [
+            _CacheGroup(cfg, b, ml, eos_token) for b, ml in self.classes
+        ]
         self.pending = collections.deque()
         self.finished: Dict[int, FinishedRequest] = {}
 
@@ -258,153 +329,235 @@ class LMServingEngine:
     @property
     def has_work(self) -> bool:
         return (bool(self.pending) or self._inflight is not None
-                or any(s is not None for s in self.slots))
+                or any(g.active.any() for g in self.groups))
+
+    @property
+    def resident_cache_positions(self) -> int:
+        """Total cache positions allocated across pools (the residency
+        metric size classes optimize — a single (B, max) pool of the same
+        slot count allocates B * max)."""
+        return sum(g.max_batch * g.max_len for g in self.groups)
 
     def _fold_rng(self):
         self._step_count += 1
         return jax.random.fold_in(self._rng, self._step_count)
 
-    def _install(self, slot_id, req_id, s, scratch, last_h, max_new,
-                 emitted):
-        """Finish a prefill: scatter the scratch into the engine cache,
+    def _pick_group(self, s: int, max_new: int) -> Optional[Tuple[int, int]]:
+        """Smallest class whose capacity covers prompt + budget, with a
+        free slot.  The largest class accepts any request that fits its
+        prompt (over-budget generations retire with reason "length", as
+        in the single-pool engine).  Returns (group_id, slot_id) or None;
+        never returns the slot reserved by the in-flight chunked prefill.
+        """
+        need = min(max(s + max_new, s + 1), self.max_len)
+        fl = self._inflight
+        for gi, g in enumerate(self.groups):
+            if g.max_len < need and g.max_len != self.max_len:
+                continue
+            for slot in range(g.max_batch):
+                if g.slots[slot] is not None:
+                    continue
+                if fl is not None and (fl.group_id, fl.slot_id) == (gi, slot):
+                    continue
+                return gi, slot
+        return None
+
+    def _install(self, group_id, slot_id, req_id, s, scratch, last_h,
+                 max_new, emitted):
+        """Finish a prefill: scatter the scratch into the group cache,
         record the first token, mark the slot live."""
-        self.cache, tok = _install_slot(
-            self.cfg, self.params, self.cache, scratch, jnp.int32(slot_id),
+        g = self.groups[group_id]
+        g.cache, tok = _install_slot(
+            self.cfg, self.params, g.cache, scratch, jnp.int32(slot_id),
             last_h, self._fold_rng(), **self.sampling,
         )
         tok = int(tok)
-        self.slots[slot_id] = _Slot(req_id, [tok], max_new)
-        self.cur_lens[slot_id] = s
-        self.last_toks[slot_id] = tok
+        g.slots[slot_id] = _Slot(req_id, [tok], max_new)
+        g.cur_lens[slot_id] = s
+        g.last_toks[slot_id] = tok
         emitted.setdefault(req_id, []).append(tok)
-        self._maybe_retire(slot_id)
+        self._maybe_retire(group_id, slot_id)
+
+    def _start_inflight(self, group_id, slot_id, req_id, embeds, max_new,
+                        emitted):
+        C = self.prefill_chunk
+        g = self.groups[group_id]
+        scratch_len = -(-g.max_len // C) * C
+        scratch = gptj.init_kv_cache(self.cfg, 1, scratch_len)
+        self._inflight = _InflightPrefill(
+            group_id, slot_id, req_id, embeds, embeds.shape[1], 0, scratch,
+            max_new,
+        )
+        # run the first chunk immediately (standalone) so admission makes
+        # progress even when no decode window runs this step
+        self._advance_inflight(emitted)
 
     def _advance_inflight(self, emitted):
-        """Run ONE chunk of the in-flight incremental prefill."""
+        """Run ONE chunk of the in-flight incremental prefill as its own
+        dispatch (used at admission and when no decode window runs)."""
+        fl = self._inflight
+        chunk, off, true_len = self._next_chunk()
+        fl.scratch, last_h = _prefill_chunk(
+            self.cfg, self.params, fl.scratch, chunk, jnp.int32(off),
+            jnp.int32(true_len),
+        )
+        self._finish_chunk(true_len, last_h, emitted)
+
+    def _next_chunk(self):
         fl = self._inflight
         C = self.prefill_chunk
         chunk = fl.embeds[:, fl.off:fl.off + C]
         true_len = chunk.shape[1]
         if true_len < C:
             chunk = jnp.pad(chunk, ((0, 0), (0, C - true_len), (0, 0)))
-        fl.scratch, last_h = _prefill_chunk(
-            self.cfg, self.params, fl.scratch, chunk, jnp.int32(fl.off),
-            jnp.int32(true_len),
-        )
+        return chunk, fl.off, true_len
+
+    def _finish_chunk(self, true_len, last_h, emitted):
+        fl = self._inflight
         fl.off += true_len
         if fl.off >= fl.s:
             self._inflight = None
-            self._install(fl.slot_id, fl.req_id, fl.s, fl.scratch, last_h,
-                          fl.max_new, emitted)
+            self._install(fl.group_id, fl.slot_id, fl.req_id, fl.s,
+                          fl.scratch, last_h, fl.max_new, emitted)
 
     def _admit(self, emitted):
         """Move pending requests into free slots (prefill each)."""
-        if self._inflight is not None:
-            self._advance_inflight(emitted)
-        for slot_id in range(self.max_batch):
-            if not self.pending or self.slots[slot_id] is not None:
-                continue
-            if self._inflight is not None and self._inflight.slot_id == slot_id:
-                continue
-            # pick the first ADMISSIBLE pending request, not merely the
-            # head: while one chunked prefill is in flight, a long prompt
-            # at the head must not block shorter requests behind it from
-            # taking other free slots (head-of-line fairness)
-            pick = None
-            for i, (_, embeds_i, _) in enumerate(self.pending):
+        # pick ADMISSIBLE pending requests, not merely the head: while one
+        # chunked prefill is in flight, a long prompt at the head must not
+        # block shorter requests behind it (head-of-line fairness)
+        made_progress = True
+        while made_progress and self.pending:
+            made_progress = False
+            for i, (req_id, embeds, max_new) in enumerate(self.pending):
+                s = embeds.shape[1]
                 needs_chunk = (self.prefill_chunk
-                               and embeds_i.shape[1] > self.prefill_chunk)
+                               and s > self.prefill_chunk)
                 if needs_chunk and self._inflight is not None:
                     continue
-                pick = i
+                placed = self._pick_group(s, max_new)
+                if placed is None:
+                    continue
+                gi, slot = placed
+                if (self._inflight is not None
+                        and self._inflight.group_id == gi
+                        and self._inflight.slot_id == slot):
+                    continue
+                del self.pending[i]
+                if needs_chunk:
+                    self._start_inflight(gi, slot, req_id, embeds, max_new,
+                                         emitted)
+                else:
+                    pad = min((-s) % self.prefill_bucket,
+                              self.groups[gi].max_len - s)
+                    if pad:
+                        embeds = jnp.pad(
+                            embeds, ((0, 0), (0, pad), (0, 0))
+                        )
+                    scratch, last_h = _prefill_full(
+                        self.cfg, self.params, embeds, jnp.int32(s),
+                        scratch_len=self.groups[gi].max_len,
+                    )
+                    self._install(gi, slot, req_id, s, scratch, last_h,
+                                  max_new, emitted)
+                made_progress = True
                 break
-            if pick is None:
-                break  # every pending request is chunk-blocked
-            req_id, embeds, max_new = self.pending[pick]
-            del self.pending[pick]
-            s = embeds.shape[1]
-            if self.prefill_chunk and s > self.prefill_chunk:
-                # incremental: one chunk now, the rest between windows.
-                # The scratch rounds up to a chunk multiple so the padded
-                # final chunk writes in range (_install_slot trims).
-                C = self.prefill_chunk
-                scratch_len = -(-self.max_len // C) * C
-                scratch = gptj.init_kv_cache(self.cfg, 1, scratch_len)
-                self._inflight = _InflightPrefill(
-                    slot_id, req_id, embeds, s, 0, scratch, max_new
-                )
-                self._advance_inflight(emitted)
-                continue
-            # clamp bucket padding so it never exceeds the cache length
-            pad = min((-s) % self.prefill_bucket, self.max_len - s)
-            if pad:
-                embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
-            scratch, last_h = _prefill_full(
-                self.cfg, self.params, embeds, jnp.int32(s),
-                scratch_len=self.max_len,
-            )
-            self._install(slot_id, req_id, s, scratch, last_h, max_new,
-                          emitted)
 
-    def _maybe_retire(self, slot_id):
+    def _maybe_retire(self, group_id, slot_id):
         # after prefill the next decode write lands at cur_len (== s)
-        self._retire_check(slot_id, int(self.cur_lens[slot_id]))
+        g = self.groups[group_id]
+        self._retire_check(group_id, slot_id, int(g.cur_lens[slot_id]))
 
-    def _retire_check(self, slot_id, next_write):
+    def _retire_check(self, group_id, slot_id, next_write):
         """Retire the slot if its latest token ends the request.
         ``next_write`` is the cache position the NEXT decode step would
         write this slot's K/V to."""
-        slot = self.slots[slot_id]
+        g = self.groups[group_id]
+        slot = g.slots[slot_id]
         if slot is None:
             return
         if slot.tokens and slot.tokens[-1] == self.eos_token:
             reason = "eos"
         elif len(slot.tokens) >= slot.max_new_tokens:
             reason = "length"
-        elif next_write >= self.max_len:
+        elif next_write >= g.max_len:
             reason = "length"
         else:
             return
         self.finished[slot.req_id] = FinishedRequest(
             slot.req_id, slot.tokens, reason
         )
-        self.slots[slot_id] = None
+        g.slots[slot_id] = None
 
-    def step(self) -> Dict[int, List[int]]:
-        """Admit pending requests, run one decode window (``decode_window``
-        tokens per active slot in one dispatch).  Returns {req_id:
-        [tokens]} emitted during this call (a request admitted this call
-        yields its prefill token plus its decode-window tokens)."""
-        emitted: Dict[int, List[int]] = {}
-        self._admit(emitted)
-        active = np.array([s is not None for s in self.slots])
-        if not active.any():
-            return emitted
-        start_lens = self.cur_lens.copy()
-        self.cache, toks = _decode(
-            self.cfg, self.params, self.cache,
-            jnp.asarray(self.last_toks), jnp.asarray(self.cur_lens),
+    def _run_group_window(self, gi, chunk_job, emitted):
+        """Dispatch one decode window for group ``gi``; piggyback the
+        in-flight prefill chunk when ``chunk_job`` is set."""
+        g = self.groups[gi]
+        active = g.active
+        start_lens = g.cur_lens.copy()
+        args = (
+            self.cfg, self.params, g.cache,
+            jnp.asarray(g.last_toks), jnp.asarray(g.cur_lens),
             jnp.asarray(active), self._fold_rng(),
-            n_steps=self.decode_window,
-            eos_token=self.eos_token, **self.sampling,
         )
+        kw = dict(n_steps=self.decode_window, eos_token=self.eos_token,
+                  **self.sampling)
+        chunk_done = None
+        if chunk_job is not None:
+            chunk, off, true_len = chunk_job
+            fl = self._inflight
+            g.cache, toks, fl.scratch, last_h = _decode_with_chunk(
+                *args, fl.scratch, chunk, jnp.int32(off),
+                jnp.int32(true_len), **kw,
+            )
+            # defer _finish_chunk until AFTER the token bookkeeping below:
+            # finishing may install a request into a slot that was
+            # INACTIVE during this window — the bookkeeping loop must not
+            # hand that fresh slot the window's placeholder tokens
+            chunk_done = (true_len, last_h)
+        else:
+            g.cache, toks = _decode(*args, **kw)
         toks = np.asarray(toks)  # (B, n) int32 — the only D2H per window
         # device wrote n positions for every row active at window start;
         # host bookkeeping must mirror that even for rows retired below
-        self.cur_lens = self.cur_lens + active.astype(np.int32) * toks.shape[1]
-        for slot_id in range(self.max_batch):
-            if self.slots[slot_id] is None:
+        g.cur_lens = g.cur_lens + active.astype(np.int32) * toks.shape[1]
+        for slot_id in range(g.max_batch):
+            if g.slots[slot_id] is None:
                 continue
             for k in range(toks.shape[1]):
-                slot = self.slots[slot_id]
+                slot = g.slots[slot_id]
                 if slot is None:
                     break  # retired mid-window: discard the tail tokens
                 tok = int(toks[slot_id, k])
                 slot.tokens.append(tok)
-                self.last_toks[slot_id] = tok
+                g.last_toks[slot_id] = tok
                 emitted.setdefault(slot.req_id, []).append(tok)
                 # token k's input K/V wrote at start+k; next write: +1
-                self._retire_check(slot_id, int(start_lens[slot_id]) + k + 1)
+                self._retire_check(gi, slot_id,
+                                   int(start_lens[slot_id]) + k + 1)
+        if chunk_done is not None:
+            self._finish_chunk(*chunk_done, emitted)
+
+    def step(self) -> Dict[int, List[int]]:
+        """Admit pending requests, run one decode window per active pool
+        (``decode_window`` tokens per active slot, one dispatch per pool;
+        the in-flight prefill chunk piggybacks on the first dispatch).
+        Returns {req_id: [tokens]} emitted during this call."""
+        emitted: Dict[int, List[int]] = {}
+        self._admit(emitted)
+        active_groups = [
+            gi for gi, g in enumerate(self.groups) if g.active.any()
+        ]
+        chunk_job = (self._next_chunk()
+                     if self._inflight is not None and active_groups
+                     else None)
+        if not active_groups:
+            if self._inflight is not None:
+                self._advance_inflight(emitted)
+            return emitted
+        for n, gi in enumerate(active_groups):
+            self._run_group_window(
+                gi, chunk_job if n == 0 else None, emitted
+            )
         return emitted
 
     def run(self) -> Dict[int, FinishedRequest]:

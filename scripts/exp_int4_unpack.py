@@ -31,10 +31,13 @@ G = K // GROUP
 BM, BKP, BN = 8, GROUP, int(os.environ.get("BN", "4096"))
 STEPS = 28 * int(os.environ.get("REPS", "8"))
 
-rng = np.random.RandomState(0)
-q4 = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)).astype(np.int8))
-s4 = jnp.asarray(rng.rand(L, G, N).astype(np.float32) * 1e-2)
-x = jnp.asarray(rng.rand(BM, K).astype(np.float32)).astype(jnp.bfloat16)
+# generate ON-device: 1.6 GB host->device through the tunnel takes ~10 min
+q4, s4, x = jax.jit(lambda k: (
+    jax.random.randint(k, (L, K // 2, N), -128, 128, jnp.int32).astype(jnp.int8),
+    jax.random.uniform(k, (L, G, N), jnp.float32) * 1e-2,
+    jax.random.uniform(k, (BM, K), jnp.float32).astype(jnp.bfloat16),
+))(jax.random.PRNGKey(0))
+jax.block_until_ready(q4)
 
 
 def kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref,
@@ -54,22 +57,41 @@ def kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref,
         p32 = w_ref[0].astype(jnp.int32)
         lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
         hi = (p32 >> 4).astype(jnp.bfloat16)
-    else:  # variant 2: unsigned nibbles + dot-side correction
+    elif variant == 2:  # unsigned nibbles + dot-side correction
         p32 = w_ref[0].astype(jnp.int32)
         lo = (p32 & 0xF).astype(jnp.bfloat16)
         hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
-    plo = jax.lax.dot(xlo_ref[...].astype(jnp.bfloat16), lo,
-                      preferred_element_type=jnp.float32)
-    phi = jax.lax.dot(xhi_ref[...].astype(jnp.bfloat16), hi,
-                      preferred_element_type=jnp.float32)
-    if variant == 2:
-        sxlo = jnp.sum(xlo_ref[...].astype(jnp.float32), axis=1,
-                       keepdims=True)
-        sxhi = jnp.sum(xhi_ref[...].astype(jnp.float32), axis=1,
-                       keepdims=True)
-        plo = plo - 8.0 * sxlo
-        phi = phi - 8.0 * sxhi
-    acc_ref[...] += plo * slo_ref[0] + phi * shi_ref[0]
+    elif variant == 3:
+        # pre-scale both nibble planes by their group scales, concat along
+        # K, ONE MXU dot per block (half the dot-issue count; scales move
+        # off the accumulator onto the unpacked weights)
+        p32 = w_ref[0].astype(jnp.int32)
+        lo = ((p32 << 28) >> 28).astype(jnp.bfloat16) * slo_ref[0].astype(
+            jnp.bfloat16
+        )
+        hi = (p32 >> 4).astype(jnp.bfloat16) * shi_ref[0].astype(
+            jnp.bfloat16
+        )
+        wcat = jnp.concatenate([lo, hi], axis=0)
+        xcat = jnp.concatenate(
+            [xlo_ref[...], xhi_ref[...]], axis=1
+        ).astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot(
+            xcat, wcat, preferred_element_type=jnp.float32
+        )
+    if variant != 3:
+        plo = jax.lax.dot(xlo_ref[...].astype(jnp.bfloat16), lo,
+                          preferred_element_type=jnp.float32)
+        phi = jax.lax.dot(xhi_ref[...].astype(jnp.bfloat16), hi,
+                          preferred_element_type=jnp.float32)
+        if variant == 2:
+            sxlo = jnp.sum(xlo_ref[...].astype(jnp.float32), axis=1,
+                           keepdims=True)
+            sxhi = jnp.sum(xhi_ref[...].astype(jnp.float32), axis=1,
+                           keepdims=True)
+            plo = plo - 8.0 * sxlo
+            phi = phi - 8.0 * sxhi
+        acc_ref[...] += plo * slo_ref[0] + phi * shi_ref[0]
 
     @pl.when(kb == n_k - 1)
     def _store():
@@ -137,5 +159,9 @@ o0 = matmul(x, q4, s4, 3, 0)
 o1 = matmul(x, q4, s4, 3, 1)
 print("v1 == v0:", bool(jnp.all(o0 == o1)), flush=True)
 
-for v in (0, 1, 2):
+o3 = matmul(x, q4, s4, 3, 3)
+err = float(jnp.max(jnp.abs(o3 - o0)) / (jnp.max(jnp.abs(o0)) + 1e-9))
+print(f"v3 rel err vs v0: {err:.2e}", flush=True)
+
+for v in (0, 1, 3) if os.environ.get('ALLV') else (1,):
     bench(v)

@@ -195,3 +195,44 @@ def test_int4_lm_forward_close_to_fp(tiny_lm_config):
                               max_steps=4, temperature=0.0, top_k=0,
                               top_p=0.0, eos_token=-1)
     assert int(n) == 4 and np.asarray(toks).shape == (1, 4)
+
+
+def test_serving_adapter_packing():
+    """Quantized serving stores adapters bf16 (int8 measured slower in the
+    serial decode chain); the opt-in int8 mode must still argmax-match."""
+    cfg = gptj.GPTJConfig.tiny(
+        d_model=256, n_heads=2, d_ff=1024,
+        mlp_adapter=__import__(
+            "magma_tpu.models.adapters", fromlist=["AdapterSpec"]
+        ).AdapterSpec("normal", 2),  # hidden 128: int8-eligible
+    )
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 256)) * 0.02
+    p0 = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    # give adapters trained-scale weights so the packing actually matters
+    for proj in ("down", "up"):
+        p0["blocks"]["adapter_mlp"][proj]["kernel"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(hash(proj) % 1000),
+                p0["blocks"]["adapter_mlp"][proj]["kernel"].shape,
+            ) * 0.02
+        )
+    l0, _ = gptj.forward(cfg, p0, emb)
+    qp = gptj.quantize_lm_params(
+        jax.tree_util.tree_map(lambda t: t, p0)
+    )
+    ad = qp["blocks"]["adapter_mlp"]
+    assert ad["down"]["kernel"].dtype == jnp.bfloat16  # serving default
+    assert ad["down"]["bias"].dtype == jnp.bfloat16
+    l1, _ = gptj.forward(cfg, qp, emb)
+    assert int(jnp.argmax(l0[0, -1])) == int(jnp.argmax(l1[0, -1]))
+
+    # opt-in int8 adapter packing (memory-constrained deployments)
+    qp8 = gptj._serving_cast_adapters(
+        gptj.quantize_lm_params(jax.tree_util.tree_map(lambda t: t, p0)),
+        mode="int8",
+    )
+    ad8 = qp8["blocks"]["adapter_mlp"]
+    assert isinstance(ad8["down"]["kernel"], dict)
+    assert ad8["down"]["kernel"]["q"].dtype == jnp.int8
+    l2, _ = gptj.forward(cfg, qp8, emb)
+    assert int(jnp.argmax(l0[0, -1])) == int(jnp.argmax(l2[0, -1]))

@@ -176,3 +176,47 @@ def test_int8_cache_write_then_read_roundtrip(tiny_lm_config):
                           cache_index=jnp.int32(6))
     np.testing.assert_allclose(np.asarray(l8), np.asarray(l16),
                                atol=0.05, rtol=0)
+
+
+def test_generate_tokens_split_identical(tiny_lm_config):
+    """The split prefill/decode-window path must reproduce the monolithic
+    while-loop generate token-for-token: greedy AND sampled (same rng
+    stream), with per-row ragged prompts and early-EOS rows."""
+    from magma_tpu.ops.sampling import generate_tokens_split
+
+    cfg = tiny_lm_config
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    emb = (
+        jax.random.normal(jax.random.PRNGKey(1), (3, 12, cfg.d_model)) * 0.02
+    )
+    prompt_len = jnp.array([12, 7, 9], jnp.int32)
+    for kwargs in (
+        dict(temperature=0.0, top_k=0, top_p=0.0),
+        dict(temperature=0.8, top_k=50, top_p=0.9),
+    ):
+        ref, ref_steps = generate_tokens(
+            cfg, params, emb, jax.random.PRNGKey(7), max_steps=11,
+            eos_token=-1, prompt_len=prompt_len, **kwargs,
+        )
+        out, _ = generate_tokens_split(
+            cfg, params, emb, jax.random.PRNGKey(7), max_steps=11,
+            eos_token=-1, prompt_len=prompt_len, window=4, **kwargs,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert int(ref_steps) == 11
+
+    # early exit: pick an eos that the greedy path actually emits
+    first, _ = generate_tokens(
+        cfg, params, emb, jax.random.PRNGKey(7), max_steps=6,
+        temperature=0.0, top_k=0, top_p=0.0, eos_token=-1,
+    )
+    eos = int(np.asarray(first)[0, 2])  # token row 0 emits at step 2
+    ref, _ = generate_tokens(
+        cfg, params, emb, jax.random.PRNGKey(7), max_steps=10,
+        temperature=0.0, top_k=0, top_p=0.0, eos_token=eos,
+    )
+    out, _ = generate_tokens_split(
+        cfg, params, emb, jax.random.PRNGKey(7), max_steps=10,
+        temperature=0.0, top_k=0, top_p=0.0, eos_token=eos, window=3,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

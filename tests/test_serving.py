@@ -228,3 +228,87 @@ def test_bucket_padding_clamped_to_max_len(lm):
     rid = eng.submit(_prompt(72, 33, cfg.d_model), max_new_tokens=3)
     res = eng.run()[rid]
     assert len(res.tokens) == 3
+
+
+def test_size_classed_pools_route_and_match(lm):
+    """Two cache classes: short requests land in the small pool, a long
+    one in the big pool; greedy outputs equal the single-request oracle;
+    total residency is far below a single uniform pool of the same slot
+    count."""
+    cfg, params = lm
+    eng = LMServingEngine(
+        cfg, params, cache_classes=((2, 128), (4, 32)),
+        eos_token=-1, prefill_bucket=8, decode_window=2,
+    )
+    long_p = _prompt(80, 60, cfg.d_model)
+    shorts = [_prompt(81 + i, 6, cfg.d_model) for i in range(4)]
+    rid_long = eng.submit(long_p, max_new_tokens=6)
+    rid_short = [eng.submit(p, max_new_tokens=5) for p in shorts]
+    # routing: the long prompt cannot fit the 32-class
+    eng._admit({})
+    big, small = eng.groups[1], eng.groups[0]
+    assert small.max_len == 32 and big.max_len == 128
+    assert any(s is not None and s.req_id == rid_long for s in big.slots)
+    assert sum(s is not None for s in small.slots) >= 3
+    res = eng.run()
+    assert res[rid_long].tokens == _reference_tokens(
+        cfg, params, long_p, 6, -1
+    )
+    for rid, p in zip(rid_short, shorts):
+        assert res[rid].tokens == _reference_tokens(cfg, params, p, 5, -1)
+    # residency: 2*128 + 4*32 = 384 << 6 slots x 128 = 768
+    assert eng.resident_cache_positions == 384
+
+
+def test_piggybacked_chunk_with_active_decode(lm):
+    """A chunked prefill advancing while another slot decodes must ride
+    the decode dispatch (no standalone chunk dispatches once windows run)
+    and still produce oracle-identical tokens for both requests."""
+    cfg, params = lm
+    eng = LMServingEngine(
+        cfg, params, max_batch=2, max_len=96, eos_token=-1,
+        prefill_bucket=8, decode_window=2, prefill_chunk=16,
+    )
+    short = _prompt(90, 5, cfg.d_model)
+    long_p = _prompt(91, 60, cfg.d_model)   # 4 chunks
+    rid_s = eng.submit(short, max_new_tokens=10)
+    rid_l = eng.submit(long_p, max_new_tokens=4)
+    calls = {"fused": 0}
+    import magma_tpu.serving.engine as eng_mod
+    orig = eng_mod._decode_with_chunk
+
+    def counting(*a, **k):
+        calls["fused"] += 1
+        return orig(*a, **k)
+
+    eng_mod._decode_with_chunk = counting
+    try:
+        res = eng.run()
+    finally:
+        eng_mod._decode_with_chunk = orig
+    assert calls["fused"] >= 2  # chunks rode decode dispatches
+    assert res[rid_s].tokens == _reference_tokens(cfg, params, short, 10, -1)
+    assert res[rid_l].tokens == _reference_tokens(cfg, params, long_p, 4, -1)
+
+
+def test_mixed_trace_drains_with_classes(lm):
+    """A 24-request mixed-length trace over two pools drains completely
+    with every greedy output oracle-identical (the VERDICT r2 item-6
+    capability bar, scaled to the tiny model)."""
+    cfg, params = lm
+    eng = LMServingEngine(
+        cfg, params, cache_classes=((2, 128), (6, 32)),
+        eos_token=-1, prefill_bucket=8, decode_window=3, prefill_chunk=32,
+    )
+    rng = np.random.RandomState(0)
+    prompts, rids = [], []
+    for i in range(24):
+        s = int(rng.choice([4, 9, 20, 70]))
+        p = _prompt(100 + i, s, cfg.d_model)
+        prompts.append(p)
+        rids.append(eng.submit(p, max_new_tokens=int(rng.choice([3, 6]))))
+    res = eng.run()
+    assert set(res) == set(rids)
+    for rid, p in zip(rids, prompts):
+        n = len(res[rid].tokens)
+        assert res[rid].tokens == _reference_tokens(cfg, params, p, n, -1)
