@@ -269,13 +269,17 @@ class Magma:
         # (the reference's eager loop served any shape,
         # magma/sampling.py:43-121).  Token-identical; tested.
         b = embeddings.shape[0]
-        gen = (generate_tokens_split
-               if b * embeddings.shape[1] > 8192 else generate_tokens)
+        extra = {}
+        if b * embeddings.shape[1] > 8192:
+            gen = generate_tokens_split
+            extra = dict(window=8, prefill_chunk=512)
+        else:
+            gen = generate_tokens
         tokens, _ = gen(
             self.lm_config, self.params["lm"], embeddings, rng,
             max_steps=max_steps, temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p), eos_token=self.eos_token,
-            prompt_len=prompt_len,
+            prompt_len=prompt_len, **extra,
         )
         tokens = np.asarray(tokens)
         if not decode:

@@ -229,6 +229,52 @@ def _split_prefill(cfg, params, embeddings, prompt_len, *, max_steps):
     return cache, last
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "total_len"))
+def _split_cache_init(cfg, *, batch, total_len):
+    from magma_tpu.models import gptj
+
+    return gptj.init_kv_cache(cfg, batch, total_len)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _split_head(cfg, params, last_h):
+    from magma_tpu.models import gptj
+
+    return gptj.lm_head(cfg, params, last_h)[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk"), donate_argnames=("cache",),
+)
+def _split_prefill_chunk(cfg, params, emb_chunk, cache, last_h, offset,
+                         prompt_len, *, chunk):
+    """One chunk of the split generate's prefill: attends to the cache
+    history [0, offset) plus itself (gptj read_history) and carries the
+    last-true-position hidden state per row.  Bounds prefill activation
+    memory to one chunk's worth for ANY (batch x context) — the
+    whole-prompt prefill at b=8 x ctx-2048 exhausted HBM on transients.
+
+    Rows whose prompt ended before this chunk write garbage K/V beyond
+    their true length — harmless: a cache position p >= prompt_len only
+    becomes attendable after the decode step that overwrites it
+    (valid < cur_len masking), so the garbage is never read."""
+    from magma_tpu.models import gptj
+
+    b = emb_chunk.shape[0]
+    prompt_len = jnp.broadcast_to(prompt_len, (b,))
+    fresh = jnp.clip(prompt_len - offset, 0, chunk)
+    hidden, cache = gptj.forward(
+        cfg, params, emb_chunk, cache=cache, cache_index=offset,
+        kv_len=fresh, remat=False, return_hidden=True, read_history=True,
+    )
+    last_pos = prompt_len - 1
+    has_last = jnp.logical_and(last_pos >= offset, last_pos < offset + chunk)
+    idx = jnp.clip(last_pos - offset, 0, chunk - 1)
+    cand = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)
+    last_h = jnp.where(has_last[:, None, None], cand, last_h)
+    return cache, last_h
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "temperature", "top_k", "top_p",
@@ -280,6 +326,7 @@ def generate_tokens_split(
     prompt_len: Optional[jnp.ndarray] = None,
     top_p_mode: str = "reference",
     window: int = 8,
+    prefill_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``generate_tokens`` as TWO compiled programs — prefill and a
     reusable decode window — instead of one monolithic while-loop
@@ -292,8 +339,10 @@ def generate_tokens_split(
     compile helper in round 2 — the reference's eager loop handled any
     shape, magma/sampling.py:43-121).  Splitting keeps each program small,
     reuses the decode window across prompt shapes, and bounds compile
-    memory.  ``Magma.generate`` routes here automatically above a size
-    threshold.
+    memory.  ``prefill_chunk > 0`` additionally runs the prefill in
+    history-attention chunks, bounding prefill ACTIVATION memory too (the
+    whole-prompt b=8 x ctx-2048 prefill exhausted HBM on transients).
+    ``Magma.generate`` routes here automatically above a size threshold.
     """
     b, s, _ = embeddings.shape
     if prompt_len is None:
@@ -301,9 +350,30 @@ def generate_tokens_split(
     else:
         prompt_len = jnp.asarray(prompt_len).astype(jnp.int32)
 
-    cache, last = _split_prefill(
-        cfg, params, embeddings, prompt_len, max_steps=max_steps,
-    )
+    if prefill_chunk and s > prefill_chunk:
+        C = prefill_chunk
+        n_chunks = -(-s // C)
+        # the final (padded) chunk writes up to n_chunks * C
+        total_len = max(s + max_steps, n_chunks * C)
+        cache = _split_cache_init(cfg, batch=b, total_len=total_len)
+        last_h = jnp.zeros(
+            (b, 1, embeddings.shape[2]), cfg.compute_dtype
+        )
+        for ci in range(n_chunks):
+            emb_c = embeddings[:, ci * C:(ci + 1) * C]
+            if emb_c.shape[1] < C:
+                emb_c = jnp.pad(
+                    emb_c, ((0, 0), (0, C - emb_c.shape[1]), (0, 0))
+                )
+            cache, last_h = _split_prefill_chunk(
+                cfg, params, emb_c, cache, last_h, jnp.int32(ci * C),
+                prompt_len, chunk=C,
+            )
+        last = _split_head(cfg, params, last_h)
+    else:
+        cache, last = _split_prefill(
+            cfg, params, embeddings, prompt_len, max_steps=max_steps,
+        )
     done = jnp.zeros((b,), jnp.bool_)
     cur_len = jnp.broadcast_to(prompt_len, (b,))
 

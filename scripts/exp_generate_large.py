@@ -44,10 +44,12 @@ emb = jax.jit(
                * 0.02).astype(jnp.bfloat16)
 )(jax.random.PRNGKey(1))
 jax.block_until_ready(emb)
+from magma_tpu.observability import device_memory_stats
+print("HBM before:", device_memory_stats(), flush=True)
 t0 = time.time()
 toks, n = generate_tokens_split(
     cfg, params, emb, jax.random.PRNGKey(2), max_steps=STEPS,
-    temperature=0.0, top_k=0, top_p=0.0, eos_token=-1, window=8,
+    temperature=0.0, top_k=0, top_p=0.0, eos_token=-1, window=8, prefill_chunk=256,
 )
 print(f"[b{B} ctx{S}] compile+run {time.time() - t0:.1f}s "
       f"steps={int(n)}", flush=True)
@@ -58,6 +60,7 @@ for _ in range(2):
     toks2, _ = generate_tokens_split(
         cfg, params, emb, jax.random.PRNGKey(2), max_steps=STEPS,
         temperature=0.0, top_k=0, top_p=0.0, eos_token=-1, window=8,
+        prefill_chunk=256,
     )
     ts.append(time.time() - t0)
 t = min(ts)

@@ -220,3 +220,28 @@ def test_generate_tokens_split_identical(tiny_lm_config):
         temperature=0.0, top_k=0, top_p=0.0, eos_token=eos, window=3,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_generate_tokens_split_chunked_prefill_identical(tiny_lm_config):
+    """Chunked split prefill (history attention, per-row ragged lengths,
+    padded final chunk) must still be token-identical to the monolithic
+    while-loop generate."""
+    from magma_tpu.ops.sampling import generate_tokens_split
+
+    cfg = tiny_lm_config
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    emb = (
+        jax.random.normal(jax.random.PRNGKey(4), (3, 21, cfg.d_model)) * 0.02
+    )
+    prompt_len = jnp.array([21, 9, 14], jnp.int32)
+    ref, _ = generate_tokens(
+        cfg, params, emb, jax.random.PRNGKey(7), max_steps=9,
+        temperature=0.0, top_k=0, top_p=0.0, eos_token=-1,
+        prompt_len=prompt_len,
+    )
+    out, _ = generate_tokens_split(
+        cfg, params, emb, jax.random.PRNGKey(7), max_steps=9,
+        temperature=0.0, top_k=0, top_p=0.0, eos_token=-1,
+        prompt_len=prompt_len, window=4, prefill_chunk=8,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
