@@ -127,28 +127,39 @@ def eval_vqa(
         np.random.RandomState(seed).shuffle(idxs)
         idxs = idxs[:n_samples]
 
-    samples = []
-    for i in idxs:
-        data = loader[i]
-        meta = data.get("metadata", {})
-        question = meta.get("question")
-        if question is None:
-            continue
-        img = Image.open(data_dir / data["image_path"])
-        tokens = model.tokenizer.encode(
-            prompt_format.format(question=question)
-        )[0]
-        samples.append({
-            "question": question,
-            "answers": meta.get("answers", []),
-            "image": np.asarray(model.transforms(img)),
-            "tokens": tokens,
-        })
+    def sample_stream():
+        """Decode images lazily so host RAM holds at most one batch of
+        pixels (a full VQA val set preloaded would OOM the host)."""
+        for i in idxs:
+            data = loader[i]
+            meta = data.get("metadata", {})
+            question = meta.get("question")
+            if question is None:
+                continue
+            img = Image.open(data_dir / data["image_path"])
+            tokens = model.tokenizer.encode(
+                prompt_format.format(question=question)
+            )[0]
+            yield {
+                "question": question,
+                "answers": meta.get("answers", []),
+                "image": np.asarray(model.transforms(img)),
+                "tokens": tokens,
+            }
+
+    def batched(it, n):
+        buf = []
+        for s in it:
+            buf.append(s)
+            if len(buf) == n:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
 
     records = []
     eos = model.eos_token
-    for lo in range(0, len(samples), batch_size):
-        chunk = samples[lo:lo + batch_size]
+    for chunk in batched(sample_stream(), batch_size):
         images = np.concatenate([s["image"] for s in chunk])
         # right-pad token prompts to the longest in the batch (pad = eos;
         # masked out of attention via per-row prompt_len)

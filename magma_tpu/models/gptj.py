@@ -164,19 +164,13 @@ def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
     """Fixed-shape KV cache pytree: (L, b, max_len, h, hd).
 
     ``cfg.kv_cache_dtype == "int8"`` stores K/V as int8 with one scale per
-    (layer, row, position) — halving the dominant HBM stream of
+    (layer, row, position, head) — halving the dominant HBM stream of
     long-context decode.  Quantization happens at write time
-    (``_write_cache``); the decode kernel dequantizes by folding the
-    scales into the decode-attention read (gptj._layer_cache).
-
-    The scale is replicated across a 128-wide trailing lane dim: Mosaic
-    only loads VMEM tiles whose minor dim is lane-aligned, so a compact
-    (.., max) scale array could not be streamed next to the int8 blocks;
-    the 128x bf16 replica costs ~6% extra bandwidth and keeps every
-    kernel access a full-width tile load."""
+    (``_write_cache``); the scales fold into the decode-attention read
+    (gptj._layer_cache)."""
     shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
     if cfg.kv_cache_dtype == "int8":
-        sc_shape = (cfg.n_layers, batch, max_len, 128)
+        sc_shape = (cfg.n_layers, batch, max_len, cfg.n_heads)
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
@@ -190,18 +184,20 @@ def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
 
 
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(layer,row,position) symmetric int8: x (L, b, s, h, hd) ->
-    (int8 same shape, scale (L, b, s, 128) lane-replicated bf16)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-2, -1))
+    """Per-(layer,row,position,head) symmetric int8: x (L, b, s, h, hd) ->
+    (int8 same shape, scale (L, b, s, h) bf16).  Per-head scales keep one
+    outlier head from degrading every head's K/V at that position (the
+    round-2 per-position form shared one scale across all heads); with
+    the Pallas decode kernel retired there is no 128-lane VMEM tiling
+    constraint on the scale array, so the compact form also drops the
+    lane-replicated scale stream (~6% of the int8 cache read)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[..., None, None]),
+        jnp.round(x.astype(jnp.float32) / scale[..., None]),
         -127, 127,
     ).astype(jnp.int8)
-    sc = jnp.broadcast_to(
-        scale[..., None], (*scale.shape, 128)
-    ).astype(jnp.bfloat16)
-    return q, sc
+    return q, scale.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -433,13 +429,13 @@ def _layer_cache(cfg, cache_d, layer_idx):
         return jax.lax.dynamic_index_in_dim(t, layer_idx, 0, keepdims=False)
 
     k_l, v_l = layer_of(cache_d["k"]), layer_of(cache_d["v"])
-    if "k_scale" in cache_d:  # dequantize the int8 slice
+    if "k_scale" in cache_d:  # dequantize the int8 slice, per-head scales
         k_l = k_l.astype(cdt) * layer_of(
             cache_d["k_scale"]
-        )[..., :1, None].astype(cdt)
+        )[..., None].astype(cdt)
         v_l = v_l.astype(cdt) * layer_of(
             cache_d["v_scale"]
-        )[..., :1, None].astype(cdt)
+        )[..., None].astype(cdt)
     return k_l.astype(cdt), v_l.astype(cdt)
 
 

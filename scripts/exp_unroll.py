@@ -3,7 +3,9 @@
 (cache read/write included, sampling/head excluded unless HEAD=1) for
 scan-vs-unrolled layer loops on the quantized 6B.
 
-Env: BITS=4|8 (default 4), CTX (default 256), B (default 1), STEPS=64.
+Env: BITS=4|8 (default 4), CTX (default 256), B (default 1), STEPS=64,
+KV=bf16|int8 (cache dtype), INDEX (decode cache position, default
+CTX//2 — set near CTX to mimic long-context serving).
 """
 import os
 import sys
@@ -23,10 +25,12 @@ B = int(os.environ.get("B", "1"))
 CTX = int(os.environ.get("CTX", "256"))
 BITS = int(os.environ.get("BITS", "4"))
 HEAD = os.environ.get("HEAD", "1") == "1"
+KV = os.environ.get("KV", "bf16")
+INDEX = int(os.environ.get("INDEX", "0")) or None  # None -> CTX // 2
 
 base_cfg = gptj.GPTJConfig.gptj_6b(
     param_dtype=jnp.bfloat16, mlp_adapter=AdapterSpec("normal", 4),
-    remat=False, attention_impl="flash",
+    remat=False, attention_impl="flash", kv_cache_dtype=KV,
 )
 print(f"init 6B + quantize int{BITS}...", flush=True)
 t0 = time.time()
@@ -49,13 +53,13 @@ def bench(cfg, label, reps=3):
             if HEAD:
                 logits, c = gptj.forward(
                     cfg, p, x, cache=c,
-                    cache_index=jnp.int32(CTX // 2), remat=False,
+                    cache_index=jnp.int32(INDEX or CTX // 2), remat=False,
                 )
                 x = x + logits[..., :1].astype(x.dtype) * 1e-30
             else:
                 h, c = gptj.forward(
                     cfg, p, x, cache=c,
-                    cache_index=jnp.int32(CTX // 2), remat=False,
+                    cache_index=jnp.int32(INDEX or CTX // 2), remat=False,
                     return_hidden=True,
                 )
                 x = x + h[..., :1] * 1e-30
