@@ -69,7 +69,12 @@ class GPTJConfig:
     # slice materializes a copy of each layer's cache every token
     # (GB/token at long context) and adds fixed per-layer latency.
     # Costs one longer compile of the decode program; numerics identical.
-    decode_unroll: bool = True
+    # None = auto, from on-chip A/Bs (scripts/exp_unroll.py, 6B v5e):
+    # int4 always unrolls (6.94 vs 7.90 ms/tok short ctx, 7.86 vs 8.60
+    # long); other formats unroll at short context (int8 9.56 vs 9.73)
+    # but scan at max_len > 1024 (int8@1984: scan 10.5 vs unroll 10.7,
+    # and scan compiles ~6x faster).  True/False forces.
+    decode_unroll: Optional[bool] = None
     remat: bool = True
     mlp_adapter: Optional[AdapterSpec] = None
     attn_adapter: Optional[AdapterSpec] = None
@@ -166,11 +171,11 @@ def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
     ``cfg.kv_cache_dtype == "int8"`` stores K/V as int8 with one scale per
     (layer, row, position, head) — halving the dominant HBM stream of
     long-context decode.  Quantization happens at write time
-    (``_write_cache``); the scales fold into the decode-attention read
-    (gptj._layer_cache)."""
+    (``_write_cache``); the scales fold into the attention scores at
+    read time (see _quantize_kv for the position-minor scale layout)."""
     shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
     if cfg.kv_cache_dtype == "int8":
-        sc_shape = (cfg.n_layers, batch, max_len, cfg.n_heads)
+        sc_shape = (cfg.n_layers, batch, cfg.n_heads, max_len)
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
@@ -185,19 +190,25 @@ def init_kv_cache(cfg: GPTJConfig, batch: int, max_len: int) -> Dict:
 
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(layer,row,position,head) symmetric int8: x (L, b, s, h, hd) ->
-    (int8 same shape, scale (L, b, s, h) bf16).  Per-head scales keep one
+    (int8 same shape, scale (L, b, h, s) bf16).  Per-head scales keep one
     outlier head from degrading every head's K/V at that position (the
-    round-2 per-position form shared one scale across all heads); with
-    the Pallas decode kernel retired there is no 128-lane VMEM tiling
-    constraint on the scale array, so the compact form also drops the
-    lane-replicated scale stream (~6% of the int8 cache read)."""
+    round-2 per-position form shared one scale across all heads).
+
+    The scale is stored position-minor — (L, b, h, s), NOT (L, b, s, h) —
+    so the attention read can fold it into the (b, h, q, s) score /
+    probability tiles with a plain broadcast: scores carry exactly one
+    scalar per (position, head), which is where a per-head cache scale
+    mathematically lives.  Folding into scores instead of dequantizing
+    K/V elementwise keeps the cache stream int8 end to end (no bf16
+    dequant materialization) and avoids a lane-hostile h=16-minor scale
+    layout (measured ~1 ms/token slower at 1984-token context)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(
         jnp.round(x.astype(jnp.float32) / scale[..., None]),
         -127, 127,
     ).astype(jnp.int8)
-    return q, scale.astype(jnp.bfloat16)
+    return q, jnp.swapaxes(scale, -1, -2).astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -421,30 +432,28 @@ def _layer_norm(x: jnp.ndarray, p: Dict, eps: float, out_dtype) -> jnp.ndarray:
 
 
 def _layer_cache(cfg, cache_d, layer_idx):
-    """One layer's (k, v) cache slice in compute dtype, dequantized when
-    the cache carries int8 scales."""
-    cdt = cfg.compute_dtype
+    """One layer's (k, v, k_scale, v_scale) cache slices.  K/V stay in
+    their stored dtype (int8 for quantized caches — the scales fold into
+    the attention scores at the read, never into a dequantized copy);
+    scales are (b, h, max_len) bf16, or None for bf16 caches."""
 
     def layer_of(t):
         return jax.lax.dynamic_index_in_dim(t, layer_idx, 0, keepdims=False)
 
     k_l, v_l = layer_of(cache_d["k"]), layer_of(cache_d["v"])
-    if "k_scale" in cache_d:  # dequantize the int8 slice, per-head scales
-        k_l = k_l.astype(cdt) * layer_of(
-            cache_d["k_scale"]
-        )[..., None].astype(cdt)
-        v_l = v_l.astype(cdt) * layer_of(
-            cache_d["v_scale"]
-        )[..., None].astype(cdt)
-    return k_l.astype(cdt), v_l.astype(cdt)
+    if "k_scale" in cache_d:
+        return (k_l, v_l, layer_of(cache_d["k_scale"]),
+                layer_of(cache_d["v_scale"]))
+    return k_l, v_l, None, None
 
 
 def _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v, scale):
     """XLA decode-attention path: dynamic per-layer cache slice (fused into
     the attention einsum)."""
-    k_l, v_l = _layer_cache(cfg, cache_d, layer_idx)
+    k_l, v_l, k_sc, v_sc = _layer_cache(cfg, cache_d, layer_idx)
     return decode_attention(
         q, k_l, v_l, idx, scale=scale, self_kv=(kk, v),
+        kv_scales=None if k_sc is None else (k_sc, v_sc),
     )
 
 
@@ -512,9 +521,10 @@ def _block(
         if s > 1 and read_history:
             # chunked prefill: attend to the cache history [0, idx) AND
             # causally within this chunk (serving/engine.py)
-            k_l, v_l = _layer_cache(cfg, cache_d, layer_idx)
+            k_l, v_l, k_sc, v_sc = _layer_cache(cfg, cache_d, layer_idx)
             attn = history_attention(
                 q, k_l, v_l, idx, kk, v, scale=scale, kv_len=kv_len,
+                kv_scales=None if k_sc is None else (k_sc, v_sc),
             )
         elif s > 1:
             # prefill: keys are the just-computed prompt positions
@@ -568,24 +578,45 @@ def _write_cache(cache: Dict, k_new, v_new, cache_index) -> Dict:
         entries["k"] = k_new.astype(cache["k"].dtype)
         entries["v"] = v_new.astype(cache["v"].dtype)
 
+    # position axis: 2 for K/V (L, b, s, h, hd); 3 for the position-minor
+    # scales (L, b, h, s)
+    def pos_axis(name):
+        return 3 if name.endswith("_scale") else 2
+
     if idx.ndim == 0:
         return {
             name: jax.lax.dynamic_update_slice(
-                cache[name], new, (0, 0, idx) + (0,) * (new.ndim - 3)
+                cache[name], new,
+                tuple(idx if d == pos_axis(name) else 0
+                      for d in range(new.ndim)),
             )
             for name, new in entries.items()
         }
 
-    def upd(c, n, i):  # c: (L, max, ...); n: (L, s, ...); i: scalar
-        return jax.lax.dynamic_update_slice(
-            c, n, (0, i) + (0,) * (n.ndim - 2)
-        )
+    def upd_at(axis):
+        def upd(c, n, i):  # c/n: batch axis removed by vmap; i: scalar
+            return jax.lax.dynamic_update_slice(
+                c, n, tuple(i if d == axis - 1 else 0
+                            for d in range(n.ndim))
+            )
+        return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
 
-    row_upd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
     return {
-        name: row_upd(cache[name], new, idx)
+        name: upd_at(pos_axis(name))(cache[name], new, idx)
         for name, new in entries.items()
     }
+
+
+def _should_unroll(cfg: GPTJConfig, blocks: Dict, cache: Dict) -> bool:
+    """Resolve decode_unroll=None (auto) from the measured win matrix:
+    int4 unrolls everywhere; other formats unroll only at short context
+    (see the decode_unroll field comment for the numbers)."""
+    if cfg.decode_unroll is not None:
+        return cfg.decode_unroll
+    w = blocks["attn"].get("in_proj")
+    if isinstance(w, dict) and "q4" in w:
+        return True
+    return cache["k"].shape[2] <= 1024
 
 
 def _run_blocks(
@@ -622,7 +653,7 @@ def _run_blocks(
         x, _ = jax.lax.scan(body, x, blocks)
         return x, None
 
-    if x.shape[1] == 1 and cfg.decode_unroll:
+    if x.shape[1] == 1 and _should_unroll(cfg, blocks, cache):
         # decode step: unroll with static layer indices (see decode_unroll)
         k_news, v_news = [], []
         for i in range(cfg.n_layers):
@@ -719,7 +750,7 @@ def _run_blocks_quantized(
         x, _ = jax.lax.scan(body, x, (small, jnp.arange(L)))
         return x, None
 
-    if x.shape[1] == 1 and cfg.decode_unroll:
+    if x.shape[1] == 1 and _should_unroll(cfg, blocks, cache):
         # decode step: unroll with static layer indices (see decode_unroll)
         k_news, v_news = [], []
         for i in range(L):

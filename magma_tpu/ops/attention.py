@@ -108,12 +108,17 @@ def history_attention(
     *,
     scale: float,
     kv_len=None,           # optional (b,) true fresh lengths (padding mask)
+    kv_scales=None,        # (k_scale, v_scale) (b, h, max_len) for int8 cache
 ) -> jnp.ndarray:
     """Chunked-prefill attention: queries attend to the cache history
     [0, hist_len) AND causally to their own chunk.  Generalizes
     ``decode_attention`` from s == 1 to whole chunks — the engine's
     chunked prefill interleaves these with decode windows so a long
     prompt never stalls the other slots for its full prefill time.
+
+    ``kv_scales`` marks an int8 cache; the per-(position, head) scales
+    fold into the history score / probability columns (see
+    decode_attention) so the cache is read as raw int8.
 
     One fused softmax over (max_len + s) key columns; the (b, h, s,
     max+s) scores tile is fine at chunk sizes (s <= 512)."""
@@ -127,6 +132,9 @@ def history_attention(
         "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype),
         preferred_element_type=jnp.float32,
     ) * scale
+    if kv_scales is not None:
+        k_sc, v_sc = kv_scales
+        s_hist = s_hist * k_sc[:, :, None, :].astype(jnp.float32)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
         < hist_len[:, None]
@@ -146,12 +154,16 @@ def history_attention(
     s_self = jnp.where(mask, s_self, NEG_INF)
 
     scores = jnp.concatenate([s_hist, s_self], axis=-1)
-    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    wdt = q.dtype if kv_scales is not None else v_cache.dtype
+    weights = jax.nn.softmax(scores, axis=-1).astype(wdt)
+    w_hist = weights[..., :max_len]
+    if kv_scales is not None:
+        w_hist = w_hist * v_sc[:, :, None, :].astype(wdt)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", weights[..., :max_len], v_cache
+        "bhqk,bkhd->bqhd", w_hist, v_cache.astype(wdt)
     ) + jnp.einsum(
         "bhqk,bkhd->bqhd", weights[..., max_len:],
-        v_self.astype(v_cache.dtype),
+        v_self.astype(wdt),
     )
     return out.astype(q.dtype)
 
@@ -164,6 +176,7 @@ def decode_attention(
     *,
     scale: float,
     self_kv=None,
+    kv_scales=None,
 ) -> jnp.ndarray:
     """Single-token attention against a fixed-shape KV cache.
 
@@ -177,14 +190,24 @@ def decode_attention(
     outside the layer scan (see gptj._write_cache), avoiding full-cache
     copy traffic every token.
 
+    ``kv_scales=(k_scale, v_scale)`` — (b, h, max_len) bf16 each — marks
+    an int8 cache: K/V arrive as raw int8 and the per-(position, head)
+    scales fold into the score / probability tiles (one scalar per key
+    column), so the cache stream stays int8 and no dequantized copy is
+    ever materialized.
+
     One (b, h, 1, max_len) matmul — small enough that XLA's fused path is
     at speed-of-light (HBM-bandwidth-bound on reading the cache).
     """
     b, _, h, hd = q.shape
     max_len = k_cache.shape[1]
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if kv_scales is not None:
+        k_sc, v_sc = kv_scales
+        scores = scores * k_sc[:, :, None, :].astype(jnp.float32)
     cur_len = jnp.asarray(cur_len)
     if cur_len.ndim == 0:
         cur_len = jnp.broadcast_to(cur_len, (b,))
@@ -201,13 +224,17 @@ def decode_attention(
         ) * scale
         scores = jnp.concatenate([scores, s_self], axis=-1)
 
-    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    wdt = q.dtype if kv_scales is not None else v_cache.dtype
+    weights = jax.nn.softmax(scores, axis=-1).astype(wdt)
+    w_cache = weights[..., :max_len]
+    if kv_scales is not None:
+        w_cache = w_cache * v_sc[:, :, None, :].astype(wdt)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", weights[..., :max_len], v_cache
+        "bhqk,bkhd->bqhd", w_cache, v_cache.astype(wdt)
     )
     if self_kv is not None:
         out = out + jnp.einsum(
             "bhqk,bkhd->bqhd", weights[..., max_len:],
-            v_self.astype(v_cache.dtype),
+            v_self.astype(wdt),
         )
     return out

@@ -152,9 +152,17 @@ def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
     the group cache (chunked prefill rounds its length up to a chunk
     multiple so a padded final chunk never writes out of range)."""
     max_len = cache["k"].shape[2]
+
+    def clip_pos(name, arr):
+        # position axis: 2 for K/V (L, b, s, h, hd); 3 for the
+        # position-minor int8-cache scales (L, b, h, s)
+        if name.endswith("_scale"):
+            return arr[:, :, :, :max_len]
+        return arr[:, :, :max_len]
+
     cache = {
         name: jax.lax.dynamic_update_slice(
-            cache[name], scratch[name][:, :, :max_len],
+            cache[name], clip_pos(name, scratch[name]),
             (0, slot) + (0,) * (cache[name].ndim - 2),
         )
         for name in cache

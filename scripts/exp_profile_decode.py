@@ -2,7 +2,7 @@
 
 Runs STEPS decode steps in one jitted fori_loop under jax.profiler and
 prints the top device ops — the data behind the decode-roofline work
-(VERDICT r2 item 1).  Env: BITS=4|8, CTX, STEPS (default 16).
+(VERDICT r2 item 1).  Env: BITS=4|8, CTX, STEPS (default 16), KV=bf16|int8, INDEX.
 """
 import os
 import sys
@@ -22,10 +22,12 @@ STEPS = int(os.environ.get("STEPS", "16"))
 B = int(os.environ.get("B", "1"))
 CTX = int(os.environ.get("CTX", "256"))
 BITS = int(os.environ.get("BITS", "4"))
+KV = os.environ.get("KV", "bf16")
+INDEX = int(os.environ.get("INDEX", "0")) or None
 
 cfg = gptj.GPTJConfig.gptj_6b(
     param_dtype=jnp.bfloat16, mlp_adapter=AdapterSpec("normal", 4),
-    remat=False, attention_impl="flash",
+    remat=False, attention_impl="flash", kv_cache_dtype=KV,
 )
 print(f"init 6B + quantize int{BITS}...", flush=True)
 params = jax.jit(lambda k: gptj.init_params(k, cfg))(jax.random.PRNGKey(0))
@@ -45,7 +47,7 @@ def run(p, x0, cache):
     def step(i, carry):
         x, c = carry
         logits, c = gptj.forward(
-            cfg, p, x, cache=c, cache_index=jnp.int32(CTX // 2),
+            cfg, p, x, cache=c, cache_index=jnp.int32(INDEX or CTX // 2),
             remat=False,
         )
         return (x + logits[..., :1].astype(x.dtype) * 1e-30, c)
