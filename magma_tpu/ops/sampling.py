@@ -97,6 +97,57 @@ def sample_token(
     )
 
 
+def sample_token_batched(
+    rng: jax.Array,
+    logits: jnp.ndarray,            # (b, V) fp32
+    temperature: jnp.ndarray,       # (b,) — 0.0 rows decode greedily
+    top_k: jnp.ndarray,             # (b,) int32 — 0 disables
+    top_p: jnp.ndarray,             # (b,) — 0.0 disables
+    *,
+    vocab_size: int,
+    top_p_mode: str = "reference",
+) -> jnp.ndarray:
+    """``sample_token`` with PER-ROW sampling parameters (traced arrays,
+    not static) — the serving engine's mixed-request path, where slots
+    carry different (temperature, top_k, top_p) settings.
+
+    Row semantics match ``sample_token`` with that row's settings: greedy
+    rows (temperature 0) take the argmax; top-k / top-p filters apply in
+    the same order, and temperature divides after filtering.  One
+    descending sort serves both filters, so a mixed batch costs the same
+    as a batch with top_p enabled.  Returns (b,) int32.
+    """
+    if logits.shape[-1] > vocab_size:
+        col = jnp.arange(logits.shape[-1])
+        logits = jnp.where(col < vocab_size, logits, NEG_INF)
+
+    order = jnp.argsort(-logits, axis=-1, stable=True)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, sorted_logits.shape, 1)
+
+    keep_k = jnp.logical_or(
+        (top_k <= 0)[:, None], rank < top_k[:, None]
+    )
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    if top_p_mode == "reference":
+        remove = cum < (1.0 - top_p[:, None])
+    else:
+        remove = cum > top_p[:, None]
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+    )
+    keep_p = jnp.logical_or((top_p <= 0.0)[:, None], ~remove)
+
+    filtered = jnp.where(
+        jnp.logical_and(keep_k, keep_p), sorted_logits, NEG_INF
+    )
+    safe_t = jnp.where(temperature > 0, temperature, 1.0)[:, None]
+    pick = jax.random.categorical(rng, filtered / safe_t, axis=-1)
+    sampled = jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0]
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -60,7 +60,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from magma_tpu.models import gptj
-from magma_tpu.ops.sampling import sample_token, strip_after_eos
+from magma_tpu.ops.sampling import (
+    sample_token, sample_token_batched, strip_after_eos,
+)
 
 
 @dataclasses.dataclass
@@ -68,6 +70,7 @@ class _Slot:
     req_id: int
     tokens: List[int]
     max_new_tokens: int
+    sampling: Tuple[float, int, float]  # (temperature, top_k, top_p)
 
 
 @dataclasses.dataclass
@@ -80,6 +83,7 @@ class _InflightPrefill:
     off: int                # tokens prefilled so far
     scratch: object         # 1-row scratch cache (chunk-multiple length)
     max_new: int
+    sampling: Tuple[float, int, float]
 
 
 @dataclasses.dataclass
@@ -99,6 +103,10 @@ class _CacheGroup:
         self.cur_lens = np.zeros(max_batch, np.int32)
         self.last_toks = np.full(max_batch, eos_token, np.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_batch
+        # per-slot sampling params (only meaningful where slots[i] is set)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.top_ks = np.zeros(max_batch, np.int32)
+        self.top_ps = np.zeros(max_batch, np.float32)
 
     @property
     def active(self) -> np.ndarray:
@@ -142,15 +150,19 @@ def _prefill_chunk(cfg, params, scratch, emb_chunk, offset, true_len):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "temperature", "top_k", "top_p", "top_p_mode"),
+    static_argnames=("cfg", "top_p_mode"),
     donate_argnames=("cache",),
 )
-def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
-                  temperature, top_k, top_p, top_p_mode):
+def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, temp, tk,
+                  tp, *, top_p_mode):
     """Scatter a finished scratch prefill into a group cache at ``slot``
     and sample the request's first token.  The scratch may be longer than
     the group cache (chunked prefill rounds its length up to a chunk
-    multiple so a padded final chunk never writes out of range)."""
+    multiple so a padded final chunk never writes out of range).
+
+    ``temp``/``tk``/``tp`` are TRACED (1,) sampling params: one compiled
+    install program serves every request, whatever its per-request
+    settings (static params would recompile per distinct combination)."""
     max_len = cache["k"].shape[2]
 
     def clip_pos(name, arr):
@@ -168,16 +180,18 @@ def _install_slot(cfg, params, cache, scratch, slot, last_h, rng, *,
         for name in cache
     }
     logits = gptj.lm_head(cfg, params, last_h)[:, 0]
-    tok = sample_token(
-        rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
-        vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
+    tok = sample_token_batched(
+        rng, logits, temp, tk, tp, vocab_size=cfg.vocab_size,
+        top_p_mode=top_p_mode,
     )
     return cache, tok[0]
 
 
-def _window_body(cfg, params, cache, last_toks, cur_lens, active, rng, *,
-                 n_steps, temperature, top_k, top_p, top_p_mode, eos_token):
-    """``n_steps`` decode steps for every slot of one pool."""
+def _window_body(cfg, params, cache, last_toks, cur_lens, active, rng,
+                 sample_fn, *, n_steps, eos_token):
+    """``n_steps`` decode steps for every slot of one pool.
+    ``sample_fn(rng, logits) -> (B,) tokens`` closes over the sampling
+    params — static engine-wide values or traced per-slot arrays."""
 
     def step(carry, i):
         cache, toks, lens = carry
@@ -187,11 +201,7 @@ def _window_body(cfg, params, cache, last_toks, cur_lens, active, rng, *,
             return_hidden=True,
         )
         logits = gptj.lm_head(cfg, params, hidden)[:, 0]
-        tok = sample_token(
-            jax.random.fold_in(rng, i), logits, temperature=temperature,
-            top_k=top_k, top_p=top_p, vocab_size=cfg.vocab_size,
-            top_p_mode=top_p_mode,
-        )
+        tok = sample_fn(jax.random.fold_in(rng, i), logits)
         tok = jnp.where(active, tok, jnp.int32(eos_token))
         return (cache, tok, lens + active.astype(jnp.int32)), tok
 
@@ -199,6 +209,24 @@ def _window_body(cfg, params, cache, last_toks, cur_lens, active, rng, *,
         step, (cache, last_toks, cur_lens), jnp.arange(n_steps)
     )
     return cache, toks.T  # (B, n_steps)
+
+
+def _static_sampler(cfg, temperature, top_k, top_p, top_p_mode):
+    def fn(rng, logits):
+        return sample_token(
+            rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
+            vocab_size=cfg.vocab_size, top_p_mode=top_p_mode,
+        )
+    return fn
+
+
+def _batched_sampler(cfg, temps, top_ks, top_ps, top_p_mode):
+    def fn(rng, logits):
+        return sample_token_batched(
+            rng, logits, temps, top_ks, top_ps, vocab_size=cfg.vocab_size,
+            top_p_mode=top_p_mode,
+        )
+    return fn
 
 
 @functools.partial(
@@ -216,8 +244,27 @@ def _decode(cfg, params, cache, last_toks, cur_lens, active, rng, *,
     the cache rows overwritten by the next prefill) anyway."""
     return _window_body(
         cfg, params, cache, last_toks, cur_lens, active, rng,
-        n_steps=n_steps, temperature=temperature, top_k=top_k, top_p=top_p,
-        top_p_mode=top_p_mode, eos_token=eos_token,
+        _static_sampler(cfg, temperature, top_k, top_p, top_p_mode),
+        n_steps=n_steps, eos_token=eos_token,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "top_p_mode", "eos_token"),
+    donate_argnames=("cache",),
+)
+def _decode_mixed(cfg, params, cache, last_toks, cur_lens, active, rng,
+                  temps, top_ks, top_ps, *, n_steps, top_p_mode, eos_token):
+    """``_decode`` with per-slot TRACED sampling params — used when the
+    active slots carry different (temperature, top_k, top_p) settings.
+    One executable serves every mix; the extra cost is one (B, V)
+    descending sort per step (only paid on mixed windows — uniform
+    windows keep the static program's cheap path)."""
+    return _window_body(
+        cfg, params, cache, last_toks, cur_lens, active, rng,
+        _batched_sampler(cfg, temps, top_ks, top_ps, top_p_mode),
+        n_steps=n_steps, eos_token=eos_token,
     )
 
 
@@ -241,8 +288,29 @@ def _decode_with_chunk(cfg, params, cache, last_toks, cur_lens, active, rng,
     )
     cache, toks = _window_body(
         cfg, params, cache, last_toks, cur_lens, active, rng,
-        n_steps=n_steps, temperature=temperature, top_k=top_k, top_p=top_p,
-        top_p_mode=top_p_mode, eos_token=eos_token,
+        _static_sampler(cfg, temperature, top_k, top_p, top_p_mode),
+        n_steps=n_steps, eos_token=eos_token,
+    )
+    return cache, toks, scratch, last_h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "top_p_mode", "eos_token"),
+    donate_argnames=("cache", "scratch"),
+)
+def _decode_with_chunk_mixed(cfg, params, cache, last_toks, cur_lens, active,
+                             rng, scratch, emb_chunk, offset, true_len,
+                             temps, top_ks, top_ps, *,
+                             n_steps, top_p_mode, eos_token):
+    """``_decode_with_chunk`` with per-slot traced sampling params."""
+    scratch, last_h = _chunk_body(
+        cfg, params, scratch, emb_chunk, offset, true_len
+    )
+    cache, toks = _window_body(
+        cfg, params, cache, last_toks, cur_lens, active, rng,
+        _batched_sampler(cfg, temps, top_ks, top_ps, top_p_mode),
+        n_steps=n_steps, eos_token=eos_token,
     )
     return cache, toks, scratch, last_h
 
@@ -254,9 +322,15 @@ class LMServingEngine:
     ``((8, 2048), (16, 512))``.  Default: one pool of
     (``max_batch``, ``max_len``) — the round-2 behavior.  Requests route
     to the smallest class whose capacity covers prompt + max_new_tokens.
-    Sampling settings are engine-wide; ``kv_cache_dtype`` comes from
-    ``cfg`` — pass a config with ``kv_cache_dtype="int8"`` to halve the
-    resident pools.
+
+    Sampling: the constructor sets engine-wide defaults; ``submit`` may
+    override (temperature, top_k, top_p) PER REQUEST.  Windows whose
+    active slots all share the default settings run the cheap static
+    program (greedy = pure argmax); windows with any override run a
+    per-slot-parameter program (``sample_token_batched``) that costs one
+    extra (B, V) sort per step and never recompiles across mixes.
+    ``kv_cache_dtype`` comes from ``cfg`` — pass a config with
+    ``kv_cache_dtype="int8"`` to halve the resident pools.
     """
 
     def __init__(
@@ -289,6 +363,9 @@ class LMServingEngine:
             temperature=float(temperature), top_k=int(top_k),
             top_p=float(top_p), top_p_mode=top_p_mode,
         )
+        self.default_sampling = (float(temperature), int(top_k),
+                                 float(top_p))
+        self.top_p_mode = top_p_mode
         self.prefill_bucket = prefill_bucket
         # tokens decoded per dispatch: amortizes host round trips; new
         # requests are admitted at window boundaries
@@ -310,9 +387,15 @@ class LMServingEngine:
         self.finished: Dict[int, FinishedRequest] = {}
 
     # ------------------------------------------------------------------
-    def submit(self, embeds, max_new_tokens: int = 100) -> int:
+    def submit(self, embeds, max_new_tokens: int = 100, *,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         """Queue a request.  ``embeds``: (s, D) or (1, s, D) prompt
-        embeddings.  Returns the request id."""
+        embeddings.  ``temperature``/``top_k``/``top_p`` override the
+        engine-wide defaults for this request only (semantics as in
+        ``ops.sampling.sample_token``; temperature 0 = greedy).  Returns
+        the request id."""
         embeds = jnp.asarray(embeds)
         if embeds.ndim == 2:
             embeds = embeds[None]
@@ -329,9 +412,15 @@ class LMServingEngine:
                 f"token can be generated, but max_new_tokens="
                 f"{max_new_tokens}; shorten the prompt or raise max_len"
             )
+        d_t, d_k, d_p = self.default_sampling
+        sampling = (
+            d_t if temperature is None else float(temperature),
+            d_k if top_k is None else int(top_k),
+            d_p if top_p is None else float(top_p),
+        )
         req_id = self._next_id
         self._next_id += 1
-        self.pending.append((req_id, embeds, int(max_new_tokens)))
+        self.pending.append((req_id, embeds, int(max_new_tokens), sampling))
         return req_id
 
     @property
@@ -371,30 +460,34 @@ class LMServingEngine:
         return None
 
     def _install(self, group_id, slot_id, req_id, s, scratch, last_h,
-                 max_new, emitted):
+                 max_new, sampling, emitted):
         """Finish a prefill: scatter the scratch into the group cache,
         record the first token, mark the slot live."""
         g = self.groups[group_id]
+        t, k, p = sampling
         g.cache, tok = _install_slot(
             self.cfg, self.params, g.cache, scratch, jnp.int32(slot_id),
-            last_h, self._fold_rng(), **self.sampling,
+            last_h, self._fold_rng(),
+            jnp.full((1,), t, jnp.float32), jnp.full((1,), k, jnp.int32),
+            jnp.full((1,), p, jnp.float32), top_p_mode=self.top_p_mode,
         )
         tok = int(tok)
-        g.slots[slot_id] = _Slot(req_id, [tok], max_new)
+        g.slots[slot_id] = _Slot(req_id, [tok], max_new, sampling)
         g.cur_lens[slot_id] = s
         g.last_toks[slot_id] = tok
+        g.temps[slot_id], g.top_ks[slot_id], g.top_ps[slot_id] = t, k, p
         emitted.setdefault(req_id, []).append(tok)
         self._maybe_retire(group_id, slot_id)
 
     def _start_inflight(self, group_id, slot_id, req_id, embeds, max_new,
-                        emitted):
+                        sampling, emitted):
         C = self.prefill_chunk
         g = self.groups[group_id]
         scratch_len = -(-g.max_len // C) * C
         scratch = gptj.init_kv_cache(self.cfg, 1, scratch_len)
         self._inflight = _InflightPrefill(
             group_id, slot_id, req_id, embeds, embeds.shape[1], 0, scratch,
-            max_new,
+            max_new, sampling,
         )
         # run the first chunk immediately (standalone) so admission makes
         # progress even when no decode window runs this step
@@ -426,7 +519,8 @@ class LMServingEngine:
         if fl.off >= fl.s:
             self._inflight = None
             self._install(fl.group_id, fl.slot_id, fl.req_id, fl.s,
-                          fl.scratch, last_h, fl.max_new, emitted)
+                          fl.scratch, last_h, fl.max_new, fl.sampling,
+                          emitted)
 
     def _admit(self, emitted):
         """Move pending requests into free slots (prefill each)."""
@@ -436,7 +530,8 @@ class LMServingEngine:
         made_progress = True
         while made_progress and self.pending:
             made_progress = False
-            for i, (req_id, embeds, max_new) in enumerate(self.pending):
+            for i, (req_id, embeds, max_new, sampling) in enumerate(
+                    self.pending):
                 s = embeds.shape[1]
                 needs_chunk = (self.prefill_chunk
                                and s > self.prefill_chunk)
@@ -453,7 +548,7 @@ class LMServingEngine:
                 del self.pending[i]
                 if needs_chunk:
                     self._start_inflight(gi, slot, req_id, embeds, max_new,
-                                         emitted)
+                                         sampling, emitted)
                 else:
                     pad = min((-s) % self.prefill_bucket,
                               self.groups[gi].max_len - s)
@@ -466,7 +561,7 @@ class LMServingEngine:
                         scratch_len=self.groups[gi].max_len,
                     )
                     self._install(gi, slot, req_id, s, scratch, last_h,
-                                  max_new, emitted)
+                                  max_new, sampling, emitted)
                 made_progress = True
                 break
 
@@ -507,15 +602,31 @@ class LMServingEngine:
             jnp.asarray(g.last_toks), jnp.asarray(g.cur_lens),
             jnp.asarray(active), self._fold_rng(),
         )
-        kw = dict(n_steps=self.decode_window, eos_token=self.eos_token,
-                  **self.sampling)
+        # uniform-default windows keep the cheap static program (greedy
+        # default = pure argmax, no per-step sort); any per-request
+        # override routes the window to the traced-params program
+        mixed = any(
+            s is not None and s.sampling != self.default_sampling
+            for s in g.slots
+        )
+        if mixed:
+            sample_args = (jnp.asarray(g.temps), jnp.asarray(g.top_ks),
+                           jnp.asarray(g.top_ps))
+            kw = dict(n_steps=self.decode_window, eos_token=self.eos_token,
+                      top_p_mode=self.top_p_mode)
+            decode_fn, decode_chunk_fn = _decode_mixed, _decode_with_chunk_mixed
+        else:
+            sample_args = ()
+            kw = dict(n_steps=self.decode_window, eos_token=self.eos_token,
+                      **self.sampling)
+            decode_fn, decode_chunk_fn = _decode, _decode_with_chunk
         chunk_done = None
         if chunk_job is not None:
             chunk, off, true_len = chunk_job
             fl = self._inflight
-            g.cache, toks, fl.scratch, last_h = _decode_with_chunk(
+            g.cache, toks, fl.scratch, last_h = decode_chunk_fn(
                 *args, fl.scratch, chunk, jnp.int32(off),
-                jnp.int32(true_len), **kw,
+                jnp.int32(true_len), *sample_args, **kw,
             )
             # defer _finish_chunk until AFTER the token bookkeeping below:
             # finishing may install a request into a slot that was
@@ -523,7 +634,7 @@ class LMServingEngine:
             # hand that fresh slot the window's placeholder tokens
             chunk_done = (true_len, last_h)
         else:
-            g.cache, toks = _decode(*args, **kw)
+            g.cache, toks = decode_fn(*args, *sample_args, **kw)
         toks = np.asarray(toks)  # (B, n) int32 — the only D2H per window
         # device wrote n positions for every row active at window start;
         # host bookkeeping must mirror that even for rows retired below
@@ -585,11 +696,13 @@ class MagmaServingEngine(LMServingEngine):
         super().__init__(model.lm_config, model.params["lm"], **kwargs)
         self.model = model
 
-    def submit_prompt(self, inputs, max_new_tokens: int = 100) -> int:
+    def submit_prompt(self, inputs, max_new_tokens: int = 100,
+                      **sampling) -> int:
         """``inputs``: the list accepted by ``Magma.preprocess_inputs``
-        (ImageInput / PIL images / caption strings)."""
+        (ImageInput / PIL images / caption strings).  ``sampling``:
+        per-request temperature/top_k/top_p overrides (see ``submit``)."""
         embeds = self.model.preprocess_inputs(inputs)
-        return self.submit(embeds, max_new_tokens)
+        return self.submit(embeds, max_new_tokens, **sampling)
 
     def text_results(self) -> Dict[int, str]:
         return {

@@ -245,3 +245,73 @@ def test_generate_tokens_split_chunked_prefill_identical(tiny_lm_config):
         prompt_len=prompt_len, window=4, prefill_chunk=8,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_batched_sampler_greedy_rows_are_argmax():
+    from magma_tpu.ops.sampling import sample_token_batched
+
+    logits = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    tok = sample_token_batched(
+        jax.random.PRNGKey(0), logits,
+        jnp.zeros(4), jnp.zeros(4, jnp.int32), jnp.zeros(4),
+        vocab_size=16,
+    )
+    assert list(np.asarray(tok)) == list(np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_batched_sampler_per_row_support():
+    """Each row samples only inside ITS OWN filter support: row 0 greedy,
+    row 1 top-k=3, row 2 reference top-p, row 3 unfiltered."""
+    from magma_tpu.ops.sampling import sample_token_batched
+
+    V = 12
+    logits = jax.random.normal(jax.random.PRNGKey(2), (4, V)) * 3.0
+    temps = jnp.array([0.0, 1.0, 1.0, 1.0])
+    tks = jnp.array([0, 3, 0, 0], jnp.int32)
+    tps = jnp.array([0.0, 0.0, 0.5, 0.0])
+    top3 = set(np.asarray(jnp.argsort(-logits[1]))[:3].tolist())
+    tp_keep = set(
+        np.nonzero(~np.isinf(np.asarray(
+            top_p_filter(logits[2:3], 0.5, mode="reference")
+        ))[0])[0].tolist()
+    )
+    argmax0 = int(jnp.argmax(logits[0]))
+    for seed in range(40):
+        tok = np.asarray(sample_token_batched(
+            jax.random.PRNGKey(100 + seed), logits, temps, tks, tps,
+            vocab_size=V,
+        ))
+        assert tok[0] == argmax0
+        assert tok[1] in top3
+        assert tok[2] in tp_keep
+        assert 0 <= tok[3] < V
+
+
+def test_batched_sampler_masks_padded_vocab():
+    from magma_tpu.ops.sampling import sample_token_batched
+
+    logits = jnp.zeros((3, 8))  # uniform over 8 columns, true vocab = 5
+    temps = jnp.array([0.0, 1.0, 2.0])
+    for seed in range(20):
+        tok = np.asarray(sample_token_batched(
+            jax.random.PRNGKey(seed), logits, temps,
+            jnp.zeros(3, jnp.int32), jnp.array([0.0, 0.9, 0.0]),
+            vocab_size=5,
+        ))
+        assert (tok < 5).all()
+
+
+def test_batched_sampler_topk1_deterministic():
+    """top_k=1 with any temperature is argmax — the engine's mixed path
+    relies on this for its determinism test."""
+    from magma_tpu.ops.sampling import sample_token_batched
+
+    logits = jax.random.normal(jax.random.PRNGKey(3), (2, 32))
+    for seed in range(10):
+        tok = np.asarray(sample_token_batched(
+            jax.random.PRNGKey(seed), logits,
+            jnp.array([1.0, 0.5]), jnp.array([1, 1], jnp.int32),
+            jnp.zeros(2),
+            vocab_size=32,
+        ))
+        assert list(tok) == list(np.asarray(jnp.argmax(logits, -1)))

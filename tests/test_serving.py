@@ -312,3 +312,95 @@ def test_mixed_trace_drains_with_classes(lm):
     for rid, p in zip(rids, prompts):
         n = len(res[rid].tokens)
         assert res[rid].tokens == _reference_tokens(cfg, params, p, n, -1)
+
+
+def test_per_request_sampling_mixed_batch(lm):
+    """Per-request sampling params: a greedy request and a top_k=1
+    stochastic request (argmax-deterministic) served TOGETHER both match
+    the greedy oracle, and the window runs the mixed-params program."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=4, max_len=128,
+                          eos_token=EOS, prefill_bucket=8)
+    p0 = _prompt(200, 6, cfg.d_model)
+    p1 = _prompt(201, 9, cfg.d_model)
+    r0 = eng.submit(p0, max_new_tokens=8)  # engine default: greedy
+    r1 = eng.submit(p1, max_new_tokens=8, temperature=0.8, top_k=1)
+    calls = {"mixed": 0}
+    import magma_tpu.serving.engine as eng_mod
+    orig = eng_mod._decode_mixed
+
+    def counting(*a, **k):
+        calls["mixed"] += 1
+        return orig(*a, **k)
+
+    eng_mod._decode_mixed = counting
+    try:
+        res = eng.run()
+    finally:
+        eng_mod._decode_mixed = orig
+    assert calls["mixed"] >= 1
+    assert res[r0].tokens == _reference_tokens(cfg, params, p0, 8, EOS)
+    assert res[r1].tokens == _reference_tokens(cfg, params, p1, 8, EOS)
+
+
+def test_per_request_sampling_static_path_when_uniform(lm):
+    """All-default requests must keep the cheap static program (no
+    per-step sort): the mixed program is never invoked."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=2, max_len=128,
+                          eos_token=EOS, prefill_bucket=8)
+    eng.submit(_prompt(210, 5, cfg.d_model), max_new_tokens=6)
+    eng.submit(_prompt(211, 7, cfg.d_model), max_new_tokens=6)
+    calls = {"mixed": 0}
+    import magma_tpu.serving.engine as eng_mod
+    orig = eng_mod._decode_mixed
+
+    def counting(*a, **k):
+        calls["mixed"] += 1
+        return orig(*a, **k)
+
+    eng_mod._decode_mixed = counting
+    try:
+        eng.run()
+    finally:
+        eng_mod._decode_mixed = orig
+    assert calls["mixed"] == 0
+
+
+def test_per_request_sampling_with_chunked_prefill(lm):
+    """A top_k=1 stochastic request with a CHUNKED prefill alongside a
+    decoding greedy slot: both oracle-identical (exercises
+    _decode_with_chunk_mixed and the traced-params install)."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=2, max_len=96,
+                          eos_token=-1, prefill_bucket=8, decode_window=2,
+                          prefill_chunk=16)
+    short = _prompt(220, 5, cfg.d_model)
+    long_p = _prompt(221, 40, cfg.d_model)  # 3 chunks
+    r_s = eng.submit(short, max_new_tokens=8)
+    r_l = eng.submit(long_p, max_new_tokens=4, temperature=1.0, top_k=1)
+    res = eng.run()
+    assert res[r_s].tokens == _reference_tokens(cfg, params, short, 8, -1)
+    assert res[r_l].tokens == _reference_tokens(cfg, params, long_p, 4, -1)
+
+
+def test_per_request_sampling_varies_output(lm):
+    """A temperature>0 unfiltered request actually samples: across seeds
+    the outputs differ from always-greedy at least once (tiny random LM
+    logits are near-uniform, so sampling diverges almost surely)."""
+    cfg, params = lm
+    greedy = None
+    diverged = False
+    for seed in range(4):
+        eng = LMServingEngine(cfg, params, max_batch=1, max_len=64,
+                              eos_token=-1, prefill_bucket=8, seed=seed)
+        rid = eng.submit(_prompt(230, 6, cfg.d_model), max_new_tokens=10,
+                         temperature=1.5)
+        toks = eng.run()[rid].tokens
+        if greedy is None:
+            greedy = _reference_tokens(cfg, params,
+                                       _prompt(230, 6, cfg.d_model), 10, -1)
+        if toks != greedy:
+            diverged = True
+            break
+    assert diverged
