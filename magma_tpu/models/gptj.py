@@ -282,7 +282,7 @@ def _serving_cast_adapters(params: Dict, mode: str = "bf16") -> Dict:
     return params
 
 
-def quantize_lm_params(params: Dict) -> Dict:
+def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
     """Weight-only int8 quantization of the serving-critical matrices:
     attention q/k/v/o, MLP fc_in/fc_out, and the output head (derived from
     the tied wte).  Layernorms and the embedding table stay in their
@@ -292,6 +292,14 @@ def quantize_lm_params(params: Dict) -> Dict:
 
     Decode becomes ~2x faster: single-stream generation is HBM-bound and
     int8 halves the bytes read per token (see ops/quant.py).
+
+    ``fuse_out_proj=True`` (serving) additionally concatenates o_proj +
+    fc_out into one "out_proj" stream consumed by the dual-output Pallas
+    kernel (ops/quant.py ``dual_matmul_stacked``) — one launch instead of
+    two per layer on the serial decode chain.  That kernel has no VJP, so
+    QLoRA training (adapters against a frozen int8 LM, config
+    ``train_lm_int8``) must pass ``fuse_out_proj=False`` to keep the
+    separate, activation-differentiable o/fc_out matmuls.
     """
     from magma_tpu.ops.quant import quantize_int8
 
@@ -327,8 +335,27 @@ def quantize_lm_params(params: Dict) -> Dict:
         }
     )(pieces)
     del pieces
-    attn["o"] = jax.jit(q_stacked)(attn["o"])
-    mlp_p["fc_out"]["kernel"] = jax.jit(q_stacked)(mlp_p["fc_out"]["kernel"])
+    if fuse_out_proj:
+        # fuse o_proj + fc_out into one "out_proj" stream: their outputs
+        # are needed separately (per-branch adapters), so the dual kernel
+        # walks [W_o | W_f] concatenated along K and switches its output
+        # window at the boundary — one launch instead of two per layer in
+        # the serial decode chain (ops/quant.py dual_matmul_stacked)
+        o_q = jax.jit(q_stacked)(attn.pop("o"))
+        f_q = jax.jit(q_stacked)(mlp_p["fc_out"].pop("kernel"))
+        attn["out_proj"] = jax.jit(
+            lambda o, f: {
+                "q": jnp.concatenate([o["q"], f["q"]], axis=1),
+                "s": jnp.stack([o["s"], f["s"]], axis=1),
+            }
+        )(o_q, f_q)
+        del o_q, f_q
+    else:
+        # training layout: keep o / fc_out separate so activations stay
+        # differentiable through int8_matmul_stacked's custom VJP
+        attn["o"] = jax.jit(q_stacked)(attn["o"])
+        mlp_p["fc_out"]["kernel"] = jax.jit(q_stacked)(
+            mlp_p["fc_out"]["kernel"])
     # untied int8 output head from wte (embedding lookups keep bf16 wte)
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
@@ -382,8 +409,18 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
         }
     )(pieces)
     del pieces
-    attn["o"] = jax.jit(q4_stacked)(attn["o"])
-    mlp["fc_out"]["kernel"] = jax.jit(q4_stacked)(mlp["fc_out"]["kernel"])
+    # o_proj + fc_out fused into one int4 "out_proj" stream (see the int8
+    # builder above); packed payloads and group scales concatenate along
+    # their row axes exactly
+    o_q = jax.jit(q4_stacked)(attn.pop("o"))
+    f_q = jax.jit(q4_stacked)(mlp["fc_out"].pop("kernel"))
+    attn["out_proj"] = jax.jit(
+        lambda o, f: {
+            "q4": jnp.concatenate([o["q4"], f["q4"]], axis=1),
+            "s4": jnp.concatenate([o["s4"], f["s4"]], axis=1),
+        }
+    )(o_q, f_q)
+    del o_q, f_q
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
@@ -544,17 +581,31 @@ def _block(
             attn = _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v,
                                scale)
 
-    a = _mm(attn.reshape(b, s, D), bp["attn"]["o"], cdt)
+    ctx = attn.reshape(b, s, D)
+    if "out_proj" in bp["attn"]:
+        # fused epilogue (serving layouts): o_proj + fc_out share one
+        # weight stream and one launch; their outputs come back separately
+        # for the per-branch adapters (ops/quant.py dual_matmul_stacked).
+        # m_pre is always set here — fused layouts always carry in_proj.
+        from magma_tpu.ops.quant import dual_matmul_stacked
+
+        w = bp["attn"]["out_proj"]
+        mh = m_pre + bp["mlp"]["fc_in"]["bias"].astype(cdt)
+        mh = jax.nn.gelu(mh, approximate=True)
+        a, m = dual_matmul_stacked(ctx, mh, w, w.get("idx", 0),
+                                   out_dtype=cdt)
+    else:
+        a = _mm(ctx, bp["attn"]["o"], cdt)
+        # --- mlp branch (parallel, same LN output) ---
+        if m_pre is None:
+            m_pre = _mm(u, bp["mlp"]["fc_in"]["kernel"], cdt)
+        m = m_pre + bp["mlp"]["fc_in"]["bias"].astype(cdt)
+        m = jax.nn.gelu(m, approximate=True)
+        m = _mm(m, bp["mlp"]["fc_out"]["kernel"], cdt)
+
     if "o_bias" in bp["attn"]:
         a = a + bp["attn"]["o_bias"].astype(cdt)
     a = apply_adapter(bp.get("adapter_attn"), cfg.attn_adapter, u, a, cdt)
-
-    # --- mlp branch (parallel, same LN output) ---
-    if m_pre is None:
-        m_pre = _mm(u, bp["mlp"]["fc_in"]["kernel"], cdt)
-    m = m_pre + bp["mlp"]["fc_in"]["bias"].astype(cdt)
-    m = jax.nn.gelu(m, approximate=True)
-    m = _mm(m, bp["mlp"]["fc_out"]["kernel"], cdt)
     m = m + bp["mlp"]["fc_out"]["bias"].astype(cdt)
     m = apply_adapter(bp.get("adapter_mlp"), cfg.mlp_adapter, u, m, cdt)
 
@@ -703,13 +754,16 @@ def _run_blocks_quantized(
     """
     L = cfg.n_layers
     if "in_proj" in blocks["attn"]:
-        attn_keys = ("in_proj", "o")
+        attn_keys = tuple(k for k in ("in_proj", "out_proj", "o")
+                          if k in blocks["attn"])
     elif "qkv" in blocks["attn"]:
         attn_keys = ("qkv", "o")
     else:
         attn_keys = ("q", "k", "v", "o")
     big_attn = {k: blocks["attn"][k] for k in attn_keys}
-    big_mlp = {"fc_out": blocks["mlp"]["fc_out"]["kernel"]}
+    big_mlp = {}
+    if "kernel" in blocks["mlp"]["fc_out"]:  # absent when fused to out_proj
+        big_mlp["fc_out"] = blocks["mlp"]["fc_out"]["kernel"]
     if "kernel" in blocks["mlp"]["fc_in"]:  # absent in the fused layout
         big_mlp["fc_in"] = blocks["mlp"]["fc_in"]["kernel"]
     small = {
@@ -730,9 +784,11 @@ def _run_blocks_quantized(
             bp["attn"][k] = {**big_attn[k], "idx": idx}
         bp["mlp"] = {
             "fc_in": {"bias": small_l["mlp"]["fc_in"]["bias"]},
-            "fc_out": {"kernel": {**big_mlp["fc_out"], "idx": idx},
-                       "bias": small_l["mlp"]["fc_out"]["bias"]},
+            "fc_out": {"bias": small_l["mlp"]["fc_out"]["bias"]},
         }
+        if "fc_out" in big_mlp:
+            bp["mlp"]["fc_out"]["kernel"] = {**big_mlp["fc_out"],
+                                             "idx": idx}
         if "fc_in" in big_mlp:
             bp["mlp"]["fc_in"]["kernel"] = {**big_mlp["fc_in"], "idx": idx}
         return bp

@@ -146,9 +146,12 @@ class Magma:
                 # program left the HBM arena fragmented enough that the
                 # training forward OOM'd on a 16 GB chip even though the
                 # resident bytes fit.
+                # fuse_out_proj=False: training grads flow through the
+                # separate o/fc_out int8 matmuls (the fused dual-output
+                # serving kernel has no VJP — see gptj.quantize_lm_params)
                 lm_params = jax.jit(
                     lambda k: gptj.quantize_lm_params(
-                        gptj.init_params(k, lm_cfg)
+                        gptj.init_params(k, lm_cfg), fuse_out_proj=False
                     )
                 )(k_lm)
             else:

@@ -460,7 +460,11 @@ def _int4_matmul_stacked_2d(x, q4, s4, layer_idx):
     bkp = INT4_GROUP                   # packed rows per block = one group
     if kp % bkp:
         raise NotImplementedError(f"packed K {kp} % {bkp}")
-    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
+    # 14336 first: the 28672-wide in_proj runs two half-N DMA streams per
+    # k-block instead of seven 4096-wide ones — 137.5 -> 127.8 us/layer on
+    # the serial decode chain (scripts/exp_kernel_blocks.py r3)
+    bn = _pick_block(
+        n, prefer=(14336, 4096, 2048, 1536, 1024, 512, 384, 256, 128))
     n_k = kp // bkp                    # also the lo-half group count
 
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
@@ -501,6 +505,237 @@ def _int4_matmul_stacked_2d(x, q4, s4, layer_idx):
         ),
     )(idx, x, x, q4, s4.reshape(L * G, 1, n), s4.reshape(L * G, 1, n))
     return out if mp == m else out[:m]
+
+
+def _int4_group(k: int) -> int:
+    """Group size quantize_int4 used for a K-dim of ``k`` (mirror of its
+    small-shape fallback rule)."""
+    return INT4_GROUP if k % (2 * INT4_GROUP) == 0 else k // 2
+
+
+def _int8_dual_kernel(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
+                      *, nko, n_k):
+    """Two stacked int8 matmuls (shared N) in one launch: k-blocks
+    [0, nko) accumulate the first output row, [nko, n_k) the second.  The
+    accumulator resets and the output window switches at the boundary, so
+    one weight stream yields BOTH results — halving the serial-chain
+    launch count for the o_proj + fc_out pair (see dual_matmul_stacked)."""
+    kb = pl.program_id(2)
+
+    @pl.when((kb == 0) | (kb == nko))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when((kb == nko - 1) | (kb == n_k - 1))
+    def _store():
+        o_ref[...] = (acc_ref[...] * s_ref[0])[None]
+
+
+def _int8_dual_2d(ctx, h, wq, scales, layer_idx, bk):
+    """(M, Ko) @ wq[idx, :Ko] and (M, Kf) @ wq[idx, Ko:] -> (2, M, N) f32.
+    ``scales`` is (L, 2, N): row 0 scales the first matrix, row 1 the
+    second (applied at each store, whose s-block maps to its own row)."""
+    ko, kf = ctx.shape[1], h.shape[1]
+    L, ktot, n = wq.shape
+    assert ktot == ko + kf
+    x = jnp.concatenate([ctx, h], axis=1)
+    x, bm, m = _pad_rows(x)
+    mp = x.shape[0]
+    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
+    nko, n_k = ko // bk, (ko + kf) // bk
+
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int8_dual_kernel, nko=nko, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((2, mp, n), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // bm, n // bn, n_k),
+            in_specs=[
+                # x is [ctx | h]; weight rows are [W_o | W_f] in the same
+                # order, so the k-block walk is contiguous for both
+                pl.BlockSpec((bm, bk), lambda i, j, kb, ir: (i, kb)),
+                pl.BlockSpec(
+                    (1, bk, bn),
+                    lambda i, j, kb, ir: (ir[0], kb, j),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bn),
+                    lambda i, j, kb, ir:
+                        (ir[0] * 2 + jnp.where(kb < nko, 0, 1), 0, j),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bm, bn),
+                lambda i, j, kb, ir: (jnp.where(kb < nko, 0, 1), i, j),
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(idx, x, wq, scales.reshape(L * 2, 1, n))
+    return out[0, :m], out[1, :m]
+
+
+def _int4_dual_kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
+                      o_ref, acc_ref, *, nko, n_k):
+    """int4 variant of :func:`_int8_dual_kernel` — same boundary-switching
+    accumulator over the nibble-packed weight stream."""
+    kb = pl.program_id(2)
+
+    @pl.when((kb == 0) | (kb == nko))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = w_ref[0].astype(jnp.int32)
+    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    plo = jax.lax.dot(
+        xlo_ref[...].astype(jnp.bfloat16), lo,
+        preferred_element_type=jnp.float32,
+    )
+    phi = jax.lax.dot(
+        xhi_ref[...].astype(jnp.bfloat16), hi,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += plo * slo_ref[0] + phi * shi_ref[0]
+
+    @pl.when((kb == nko - 1) | (kb == n_k - 1))
+    def _store():
+        o_ref[...] = acc_ref[...][None]
+
+
+def _int4_dual_2d(ctx, h, q4, s4, layer_idx):
+    """(M, Ko) and (M, Kf) against the concatenated int4 payload
+    q4 (L, (Ko+Kf)/2, N) with group scales s4 (L, (Ko+Kf)/256, N)."""
+    ko, kf = ctx.shape[1], h.shape[1]
+    kpo, kpf = ko // 2, kf // 2
+    L, kptot, n = q4.shape
+    assert kptot == kpo + kpf
+    G = s4.shape[1]
+    bkp = INT4_GROUP
+    nko, nkf = kpo // bkp, kpf // bkp
+    n_k = nko + nkf
+
+    # activation columns laid out [o_lo | o_hi | f_lo | f_hi] so each
+    # 256-packed-row weight block maps to one contiguous x block per nibble
+    x = jnp.concatenate(
+        [ctx[:, :kpo], ctx[:, kpo:], h[:, :kpf], h[:, kpf:]], axis=1)
+    x, bm, m = _pad_rows(x)
+    mp = x.shape[0]
+    bn = _pick_block(n, prefer=(4096, 2048, 1536, 1024, 512, 384, 256, 128))
+
+    def xlo_idx(i, j, kb, ir):
+        return (i, jnp.where(kb < nko, kb, 2 * nko + (kb - nko)))
+
+    def xhi_idx(i, j, kb, ir):
+        return (i, jnp.where(kb < nko, nko + kb, 2 * nko + nkf + (kb - nko)))
+
+    # scale rows: [o_lo (nko) | o_hi (nko) | f_lo (nkf) | f_hi (nkf)]
+    def slo_idx(i, j, kb, ir):
+        return (ir[0] * G + jnp.where(kb < nko, kb, kb + nko), 0, j)
+
+    def shi_idx(i, j, kb, ir):
+        return (ir[0] * G + jnp.where(kb < nko, kb + nko, kb + nko + nkf),
+                0, j)
+
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int4_dual_kernel, nko=nko, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((2, mp, n), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // bm, n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bm, bkp), xlo_idx),
+                pl.BlockSpec((bm, bkp), xhi_idx),
+                pl.BlockSpec((1, bkp, bn),
+                             lambda i, j, kb, ir: (ir[0], kb, j)),
+                pl.BlockSpec((1, 1, bn), slo_idx),
+                pl.BlockSpec((1, 1, bn), shi_idx),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bm, bn),
+                lambda i, j, kb, ir: (jnp.where(kb < nko, 0, 1), i, j),
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(idx, x, x, q4, s4.reshape(L * G, 1, n), s4.reshape(L * G, 1, n))
+    return out[0, :m], out[1, :m]
+
+
+def dual_matmul_stacked(ctx, h, w, layer_idx, out_dtype=None):
+    """Two matmuls sharing an output width N — ``ctx @ W_o`` and
+    ``h @ W_f`` for layer ``layer_idx`` — in ONE Pallas launch.
+
+    ``w`` holds the K-concatenated stacked payload built by
+    ``gptj.quantize_lm_params[_int4]``: int8 {"q": (L, Ko+Kf, N),
+    "s": (L, 2, N)} or int4 {"q4": (L, (Ko+Kf)/2, N), "s4" group scales}.
+    Returns ``(a, m)``, each (..., N).
+
+    Why: GPT-J's parallel block consumes o_proj and fc_out back to back in
+    the serial decode chain, but their outputs are needed SEPARATELY
+    (post-adapters act per branch), so they can't be summed via a plain
+    concat-K matmul.  Walking one concatenated weight stream and switching
+    the accumulator/output window at the boundary keeps both results while
+    paying launch latency once — measured 114.9 -> 104.0 us/layer on the
+    6B decode chain (scripts/exp_dual_kernel.py).
+
+    Serving-only: NOT differentiable (no VJP).  QLoRA training quantizes
+    with ``gptj.quantize_lm_params(..., fuse_out_proj=False)`` and keeps
+    the separate o/fc_out matmuls, whose activation-dx kernels exist.
+    """
+    lead = ctx.shape[:-1]
+    c2 = ctx.reshape(-1, ctx.shape[-1])
+    h2 = h.reshape(-1, h.shape[-1])
+    ko, kf = c2.shape[1], h2.shape[1]
+    if "q4" in w:
+        n = w["q4"].shape[-1]
+        if (jax.default_backend() == "tpu" and n % 128 == 0
+                and ko % (2 * INT4_GROUP) == 0
+                and kf % (2 * INT4_GROUP) == 0):
+            a, m = _int4_dual_2d(c2, h2, w["q4"], w["s4"],
+                                 jnp.asarray(layer_idx))
+        else:
+            go = ko // _int4_group(ko)
+            q4 = jnp.take(w["q4"], layer_idx, axis=0)
+            s4 = jnp.take(w["s4"], layer_idx, axis=0)
+            a = jnp.dot(c2.astype(jnp.float32),
+                        dequantize_int4(q4[: ko // 2], s4[:go]))
+            m = jnp.dot(h2.astype(jnp.float32),
+                        dequantize_int4(q4[ko // 2:], s4[go:]))
+    else:
+        n = w["q"].shape[-1]
+        bk = next((b for b in (512, 384, 256, 128)
+                   if ko % b == 0 and kf % b == 0), None)
+        if (jax.default_backend() == "tpu" and bk is not None
+                and n % 128 == 0):
+            a, m = _int8_dual_2d(c2, h2, w["q"], w["s"],
+                                 jnp.asarray(layer_idx), bk)
+        else:
+            q = jnp.take(w["q"], layer_idx, axis=0)
+            s = jnp.take(w["s"], layer_idx, axis=0)
+            a = jnp.dot(c2.astype(jnp.float32),
+                        q[:ko].astype(jnp.float32)) * s[0]
+            m = jnp.dot(h2.astype(jnp.float32),
+                        q[ko:].astype(jnp.float32)) * s[1]
+    a = a.reshape(*lead, n)
+    m = m.reshape(*lead, n)
+    if out_dtype is not None:
+        a, m = a.astype(out_dtype), m.astype(out_dtype)
+    return a, m
 
 
 def int4_matmul_stacked(x, q4, s4, layer_idx, out_dtype=None):

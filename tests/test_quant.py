@@ -236,3 +236,85 @@ def test_serving_adapter_packing():
     assert ad8["down"]["kernel"]["q"].dtype == jnp.int8
     l2, _ = gptj.forward(cfg, qp8, emb)
     assert int(jnp.argmax(l0[0, -1])) == int(jnp.argmax(l2[0, -1]))
+
+
+def test_dual_matmul_stacked_matches_separate():
+    """dual_matmul_stacked (o_proj + fc_out in one walk) vs two separate
+    dequantized matmuls, int8 and int4 fused layouts (CPU fallback path;
+    the Pallas duals are bit-checked on chip in scripts/exp_dual_kernel.py
+    and exercised by tests/test_tpu_smoke.py)."""
+    from magma_tpu.ops.quant import (dequantize_int4, dual_matmul_stacked,
+                                     quantize_int4)
+
+    L, D, F = 3, 256, 1024
+    k = jax.random.PRNGKey(0)
+    wo = jax.random.normal(k, (L, D, D)) * 0.05
+    wf = jax.random.normal(jax.random.PRNGKey(1), (L, F, D)) * 0.05
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, D))
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, F))
+
+    # int8 fused payload, exactly as gptj.quantize_lm_params builds it
+    o8 = jax.lax.map(quantize_int8, wo)
+    f8 = jax.lax.map(quantize_int8, wf)
+    w8 = {"q": jnp.concatenate([o8["q"], f8["q"]], axis=1),
+          "s": jnp.stack([o8["s"], f8["s"]], axis=1)}
+    for li in range(L):
+        a, m = dual_matmul_stacked(ctx, h, w8, li)
+        ra = ctx @ (o8["q"][li].astype(jnp.float32) * o8["s"][li])
+        rm = h @ (f8["q"][li].astype(jnp.float32) * f8["s"][li])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ra), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(rm), atol=1e-4)
+
+    # int4 fused payload (gptj.quantize_lm_params_int4 layout)
+    o4 = jax.lax.map(quantize_int4, wo)
+    f4 = jax.lax.map(quantize_int4, wf)
+    w4 = {"q4": jnp.concatenate([o4["q4"], f4["q4"]], axis=1),
+          "s4": jnp.concatenate([o4["s4"], f4["s4"]], axis=1)}
+    for li in range(L):
+        a, m = dual_matmul_stacked(ctx, h, w4, li)
+        ra = ctx @ dequantize_int4(o4["q4"][li], o4["s4"][li])
+        rm = h @ dequantize_int4(f4["q4"][li], f4["s4"][li])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ra), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(rm), atol=1e-4)
+
+
+def test_fused_out_proj_layout_matches_unfused():
+    """quantize_lm_params with/without fuse_out_proj produce numerically
+    identical forwards (same int8 payloads, different walk)."""
+    cfg = gptj.GPTJConfig.tiny(d_model=256, n_heads=2, d_ff=1024)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 256)) * 0.02
+    qf = gptj.quantize_lm_params(gptj.init_params(jax.random.PRNGKey(0), cfg))
+    qu = gptj.quantize_lm_params(gptj.init_params(jax.random.PRNGKey(0), cfg),
+                                 fuse_out_proj=False)
+    assert "out_proj" in qf["blocks"]["attn"]
+    assert "o" in qu["blocks"]["attn"]
+    assert "kernel" in qu["blocks"]["mlp"]["fc_out"]
+    lf, _ = gptj.forward(cfg, qf, emb)
+    lu, _ = gptj.forward(cfg, qu, emb)
+    np.testing.assert_allclose(np.asarray(lf, np.float32),
+                               np.asarray(lu, np.float32),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_training_layout_grads_flow():
+    """QLoRA contract: adapter grads flow through the UNFUSED int8 layout
+    (fuse_out_proj=False — the layout Magma builds for train_lm_int8);
+    the fused serving layout is documented non-differentiable."""
+    from magma_tpu.models.adapters import AdapterSpec
+
+    cfg = gptj.GPTJConfig.tiny(d_model=256, n_heads=2, d_ff=1024,
+                               mlp_adapter=AdapterSpec("normal", 2))
+    qp = gptj.quantize_lm_params(gptj.init_params(jax.random.PRNGKey(0), cfg),
+                                 fuse_out_proj=False)
+    emb = (jax.random.normal(jax.random.PRNGKey(2), (1, 8, 256)) * 0.02)
+    ad = qp["blocks"]["adapter_mlp"]
+
+    def loss(a, frozen, e):
+        p = {**frozen, "blocks": {**frozen["blocks"], "adapter_mlp": a}}
+        logits, _ = gptj.forward(cfg, p, e)
+        return jnp.mean(logits.astype(jnp.float32) ** 2) * 1e-3
+
+    g = jax.grad(loss)(ad, qp, emb)
+    gn = sum(float(jnp.sum(jnp.abs(l.astype(jnp.float32))))
+             for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0

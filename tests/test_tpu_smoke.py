@@ -134,6 +134,14 @@ assert outs[True].argmax(-1).tolist() == outs[False].argmax(-1).tolist()
 print("unrolled decode step ok", flush=True)
 
 # ---- one adapter train step: loss finite, grads flow through int8 dx ----
+# training layout: fuse_out_proj=False keeps o/fc_out separately
+# differentiable (the fused dual-output serving kernel has no VJP)
+params = gptj.quantize_lm_params(
+    jax.jit(lambda k: gptj.init_params(k, cfg))(jax.random.PRNGKey(0)),
+    fuse_out_proj=False,
+)
+
+
 def loss_fn(p, emb):
     logits, _ = gptj.forward(cfg, p, emb, remat=False)
     return jnp.mean(logits.astype(jnp.float32) ** 2) * 1e-3
