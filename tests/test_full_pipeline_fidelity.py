@@ -241,6 +241,34 @@ class OracleMagma(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _f16_via_xla(t: "torch.Tensor") -> "torch.Tensor":
+    """fp32 torch -> fp16 torch through XLA:CPU.  torch's and numpy's half
+    converters are soft-float on hosts without a fast F16C path (~2M
+    elem/s measured on this sandbox — 13 MINUTES for this checkpoint);
+    XLA:CPU emits vectorized conversion code with identical IEEE 754
+    round-to-nearest-even results."""
+    a = t.detach().cpu().numpy()
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            return torch.from_numpy(
+                np.asarray(jnp.asarray(a).astype(jnp.float16)).copy())
+    except Exception:
+        return torch.from_numpy(a.astype(np.float16))
+
+
+def _f32_via_xla(t: "torch.Tensor") -> "torch.Tensor":
+    """fp16 torch -> fp32 torch through XLA:CPU (see _f16_via_xla)."""
+    a = t.detach().cpu().numpy()
+    if a.dtype != np.float16:
+        return torch.from_numpy(a.astype(np.float32))
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            return torch.from_numpy(
+                np.asarray(jnp.asarray(a).astype(jnp.float32)).copy())
+    except Exception:
+        return torch.from_numpy(a.astype(np.float32))
+
+
 def reference_state_dict(oracle: OracleMagma):
     """Oracle module tree -> the reference's checkpoint naming
     (magma/magma.py module attribute paths; fp16 like the published
@@ -248,7 +276,7 @@ def reference_state_dict(oracle: OracleMagma):
     sd = {}
 
     def put(name, t):
-        sd[name] = t.detach().to(torch.float16)
+        sd[name] = _f16_via_xla(t)
 
     put("lm.transformer.wte.weight", oracle.wte.weight)
     put("lm.transformer.ln_f.weight", oracle.ln_f.weight)
@@ -303,10 +331,10 @@ def reference_state_dict(oracle: OracleMagma):
 
 
 def _put_bn(sd, name, bn):
-    sd[name + ".weight"] = bn.weight.detach().to(torch.float16)
-    sd[name + ".bias"] = bn.bias.detach().to(torch.float16)
-    sd[name + ".running_mean"] = bn.running_mean.detach().to(torch.float16)
-    sd[name + ".running_var"] = bn.running_var.detach().to(torch.float16)
+    sd[name + ".weight"] = _f16_via_xla(bn.weight)
+    sd[name + ".bias"] = _f16_via_xla(bn.bias)
+    sd[name + ".running_mean"] = _f16_via_xla(bn.running_mean)
+    sd[name + ".running_var"] = _f16_via_xla(bn.running_var)
 
 
 def randomize(oracle: OracleMagma, seed=0):
@@ -402,7 +430,7 @@ def test_full_pipeline_checkpoint_fidelity(tmp_path):
 def _load_oracle_from_sd(oracle, sd):
     """Reload the oracle's own weights from the fp16 state dict (so both
     sides consume the identical checkpoint values)."""
-    f32 = {k: v.float() for k, v in sd.items()}
+    f32 = {k: _f32_via_xla(v) for k, v in sd.items()}
 
     def cp(param, name):
         param.data.copy_(f32[name])
