@@ -149,6 +149,18 @@ def apply_adapter(
     """
     if params is None or spec is None:
         return branch_out
+    if "fused" in params:
+        # serving layout (gptj._serving_cast_adapters mode="fused_int8"):
+        # int8 bottleneck in ONE Pallas launch; the scaled_parallel scalar
+        # is pre-folded into the up scales at quantization time
+        from magma_tpu.ops.quant import fused_adapter_stacked
+
+        src = branch_out if spec.adapter_type == "normal" else branch_in
+        z = fused_adapter_stacked(
+            src, params["fused"], params.get("idx", 0),
+            out_dtype=compute_dtype,
+        )
+        return branch_out + z
     if spec.adapter_type == "normal":
         return branch_out + _bottleneck(params, branch_out, compute_dtype)
     z = _bottleneck(params, branch_in, compute_dtype)

@@ -251,11 +251,18 @@ def _serving_cast_adapters(params: Dict, mode: str = "bf16") -> Dict:
     ``mode="int8"`` quarters the bytes but puts the two bottleneck
     matmuls on the Pallas int8 kernel — measured SLOWER end to end in the
     unrolled decode (two extra serial kernel launches per layer cost more
-    than the 8 MB/layer of DMA they save), so the quantized serving paths
-    use bf16; int8 stays available for memory-constrained deployments.
-    Bottleneck kernels become {"q", "s"} dicts; biases/LN/scale stay
-    bf16.  Mutates params."""
-    from magma_tpu.ops.quant import quantize_int8
+    than the 8 MB/layer of DMA they save); it stays available for
+    memory-constrained deployments.  ``mode="fused_int8"`` (the quantized
+    serving default) gets the int8 byte win WITHOUT extra launches: both
+    bottleneck matmuls + bias/relu epilogues run as ONE Pallas launch per
+    layer (ops/quant.py fused_adapter_stacked; 51.3 -> 40.7 us/layer on
+    the v1 6B decode chain, scripts/exp_adapter_fused.py), the
+    scaled_parallel scalar folded into the up scales.  Adapters with an
+    LN, or dims off the kernel's block geometry, keep bf16.
+    Bottleneck kernels become {"q", "s"} dicts ("int8") or the adapter a
+    {"fused": ...} payload ("fused_int8"); biases/LN/scale stay bf16.
+    Mutates params."""
+    from magma_tpu.ops.quant import quantize_adapter_fused, quantize_int8
 
     def pack(leaf_path, t):
         # lane-alignment guard: the Pallas int8 kernel needs K, N % 128
@@ -269,6 +276,15 @@ def _serving_cast_adapters(params: Dict, mode: str = "bf16") -> Dict:
         if key not in params["blocks"]:
             continue
         ad = params["blocks"][key]
+        if mode == "fused_int8" and "ln" not in ad:
+            fz = quantize_adapter_fused(
+                ad["down"]["kernel"], ad["down"]["bias"],
+                ad["up"]["kernel"], ad["up"]["bias"],
+                out_scale=ad.get("scale"),
+            )
+            if fz is not None:
+                params["blocks"][key] = {"fused": fz}
+                continue
         for proj in ("down", "up"):
             ad[proj] = {
                 "kernel": pack("kernel", ad[proj]["kernel"]),
@@ -286,7 +302,8 @@ def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
     """Weight-only int8 quantization of the serving-critical matrices:
     attention q/k/v/o, MLP fc_in/fc_out, and the output head (derived from
     the tied wte).  Layernorms and the embedding table stay in their
-    original dtype; adapters are cast to bf16 (serving copy).  Mutates
+    original dtype; adapters go to the fused-int8 single-launch layout
+    when serving, bf16 (differentiable) when training.  Mutates
     (and returns) ``params``, dropping references to the originals so
     peak HBM stays bounded.
 
@@ -360,7 +377,11 @@ def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    return _serving_cast_adapters(params, mode="bf16")
+    # fuse_out_proj doubles as the training/serving switch: QLoRA training
+    # needs differentiable (bf16) adapters; serving takes the fused-int8
+    # single-launch layout
+    return _serving_cast_adapters(
+        params, mode="fused_int8" if fuse_out_proj else "bf16")
 
 
 def quantize_lm_params_int4(params: Dict) -> Dict:
@@ -424,7 +445,7 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    return _serving_cast_adapters(params, mode="bf16")
+    return _serving_cast_adapters(params, mode="fused_int8")
 
 
 def pack_lm_params_bf16(params: Dict) -> Dict:
@@ -766,8 +787,16 @@ def _run_blocks_quantized(
         big_mlp["fc_out"] = blocks["mlp"]["fc_out"]["kernel"]
     if "kernel" in blocks["mlp"]["fc_in"]:  # absent in the fused layout
         big_mlp["fc_in"] = blocks["mlp"]["fc_in"]["kernel"]
+    # fused int8 adapters are big stacked payloads too — keep them out of
+    # the scan (the kernel indexes the stacked HBM arrays by layer)
+    big_ad = {
+        k: blocks[k]["fused"]
+        for k in ("adapter_mlp", "adapter_attn")
+        if k in blocks and "fused" in blocks[k]
+    }
     small = {
-        k: v for k, v in blocks.items() if k not in ("attn", "mlp")
+        k: v for k, v in blocks.items()
+        if k not in ("attn", "mlp") and k not in big_ad
     }
     small["attn"] = {
         k: v for k, v in blocks["attn"].items() if k not in attn_keys
@@ -791,6 +820,8 @@ def _run_blocks_quantized(
                                              "idx": idx}
         if "fc_in" in big_mlp:
             bp["mlp"]["fc_in"]["kernel"] = {**big_mlp["fc_in"], "idx": idx}
+        for k, fz in big_ad.items():
+            bp[k] = {"fused": fz, "idx": idx}
         return bp
 
     if cache is None:

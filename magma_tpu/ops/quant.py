@@ -754,3 +754,161 @@ def int4_matmul_stacked(x, q4, s4, layer_idx, out_dtype=None):
         out = jnp.dot(x2.astype(jnp.float32), w)
     out = out.reshape(*lead, q4.shape[-1])
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+# ---------------------------------------------------------------------------
+# fused adapter bottleneck: down + relu + up in ONE launch
+# ---------------------------------------------------------------------------
+
+
+def quantize_adapter_fused(down_kernel, down_bias, up_kernel, up_bias,
+                           out_scale=None):
+    """Pack a stacked adapter bottleneck for the single-launch serving
+    kernel.  Inputs are the training-layout stacks: down (L, D, DH) +
+    bias (L, DH), up (L, DH, D) + bias (L, D); ``out_scale`` (L,) is the
+    scaled_parallel learned scalar, folded into the up scales so the
+    kernel's output needs no further scaling.  Returns the {"wd","sd",
+    "bd","wu","su","bu"} payload consumed by ``fused_adapter_stacked``,
+    or None if the dims don't fit the kernel's block geometry (callers
+    keep the bf16 layout in that case)."""
+    L, D, DH = down_kernel.shape
+    bk = next((b for b in (512, 384, 256, 128)
+               if D % b == 0 and DH % b == 0), None)
+    if bk is None or D % 128 or DH % 128:
+        return None
+    qd = quantize_int8(down_kernel)
+    qu = quantize_int8(up_kernel)
+    su = qu["s"].reshape(L, 1, D)
+    if out_scale is not None:
+        su = su * out_scale.astype(jnp.float32).reshape(L, 1, 1)
+    return {
+        "wd": qd["q"],
+        "sd": qd["s"].reshape(L, 1, DH),
+        "bd": down_bias.astype(jnp.float32).reshape(L, 1, DH),
+        "wu": qu["q"],
+        "su": su,
+        "bu": up_bias.astype(jnp.float32).reshape(L, 1, D),
+    }
+
+
+def _fused_adapter_kernel(idx_ref, x_ref, wd_ref, wu_ref, sd_ref, su_ref,
+                          bd_ref, bu_ref, o_ref, h_ref, acc_ref,
+                          *, nkd, n_k, bk):
+    """One launch: h = relu((x @ Wd) * sd + bd) over k-blocks [0, nkd),
+    then o = (h @ Wu) * su + bu over [nkd, n_k).  The hidden state lives
+    in a VMEM scratch across the phase boundary, so the two bottleneck
+    matmuls plus bias/relu epilogues cost ONE serial-chain launch and
+    stream int8 weights (half the bf16 bytes the XLA path reads)."""
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb < nkd)
+    def _down():
+        w = wd_ref[0].astype(jnp.bfloat16)
+        h_ref[...] += jax.lax.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(kb >= nkd)
+    def _up():
+        @pl.when(kb == nkd)
+        def _relu():
+            h_ref[...] = jax.nn.relu(
+                h_ref[...] * sd_ref[0] + bd_ref[0])
+
+        j = kb - nkd
+        w = wu_ref[0].astype(jnp.bfloat16)
+        hs = h_ref[:, pl.dslice(j * bk, bk)].astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot(hs, w,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...] * su_ref[0] + bu_ref[0]
+
+
+def fused_adapter_stacked(x, fz, layer_idx, out_dtype=None):
+    """x (..., D) -> up(relu(down(x)·sd + bd))·su + bu for layer
+    ``layer_idx`` of the stacked payload built by
+    ``quantize_adapter_fused`` — ONE Pallas launch on the decode chain.
+
+    Serial-chain economics (scripts/exp_adapter_fused.py, v5e, 6B v1
+    adapters k=4): the bf16 XLA bottleneck chain costs 51.3 us/layer-call
+    and streams 16.8 MB/layer; this kernel is 40.7 us/layer-call at
+    8.4 MB/layer.  Two *separate* int8 kernel launches were measured
+    SLOWER than the XLA chain (gptj._serving_cast_adapters history) —
+    the single launch is what makes int8 adapters pay.
+
+    Rows beyond 64 (prefill) fall back to a dequantizing XLA path: the
+    kernel re-streams the weight blocks for every 8-row block, which is
+    only a good trade in the weight-bound decode regime.  Serving-only
+    (no VJP) — training keeps fp32 adapter masters.
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    m, D = x2.shape
+    L, _, DH = fz["wd"].shape
+    bk = next(b for b in (512, 384, 256, 128)
+              if D % b == 0 and DH % b == 0)
+    if jax.default_backend() == "tpu" and m <= 64:
+        bm = ((m + 7) // 8) * 8
+        if bm != m:
+            x2 = jnp.pad(x2, ((0, bm - m), (0, 0)))
+        nkd = D // bk
+        n_k = nkd + DH // bk
+        idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+        out = pl.pallas_call(
+            functools.partial(_fused_adapter_kernel, nkd=nkd, n_k=n_k,
+                              bk=bk),
+            out_shape=jax.ShapeDtypeStruct((bm, D), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bm // bm, n_k),  # single m-block (m <= 64)
+                in_specs=[
+                    pl.BlockSpec(
+                        (bm, bk),
+                        lambda i, kb, ir: (i, jnp.where(kb < nkd, kb, 0)),
+                    ),
+                    pl.BlockSpec(
+                        (1, bk, DH),
+                        lambda i, kb, ir:
+                        (ir[0], jnp.where(kb < nkd, kb, 0), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, bk, D),
+                        lambda i, kb, ir:
+                        (ir[0], jnp.where(kb >= nkd, kb - nkd, 0), 0),
+                    ),
+                    pl.BlockSpec((1, 1, DH), lambda i, kb, ir: (ir[0], 0, 0)),
+                    pl.BlockSpec((1, 1, D), lambda i, kb, ir: (ir[0], 0, 0)),
+                    pl.BlockSpec((1, 1, DH), lambda i, kb, ir: (ir[0], 0, 0)),
+                    pl.BlockSpec((1, 1, D), lambda i, kb, ir: (ir[0], 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((bm, D), lambda i, kb, ir: (i, 0)),
+                scratch_shapes=[pltpu.VMEM((bm, DH), jnp.float32),
+                                pltpu.VMEM((bm, D), jnp.float32)],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(idx, x2, fz["wd"], fz["wu"], fz["sd"], fz["su"], fz["bd"],
+          fz["bu"])[:m]
+    else:
+        li = jnp.asarray(layer_idx)
+        wd = (jnp.take(fz["wd"], li, axis=0).astype(jnp.float32)
+              * jnp.take(fz["sd"], li, axis=0))
+        wu = (jnp.take(fz["wu"], li, axis=0).astype(jnp.float32)
+              * jnp.take(fz["su"], li, axis=0))
+        h = jax.nn.relu(
+            jnp.dot(x2.astype(jnp.bfloat16), wd.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + jnp.take(fz["bd"], li, axis=0))
+        out = jnp.dot(h.astype(jnp.bfloat16), wu.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + jnp.take(
+                          fz["bu"], li, axis=0)
+    out = out.reshape(*lead, D)
+    return out.astype(out_dtype) if out_dtype is not None else out

