@@ -156,8 +156,11 @@ def apply_adapter(
         from magma_tpu.ops.quant import fused_adapter_stacked
 
         src = branch_out if spec.adapter_type == "normal" else branch_in
+        # params["idx"] (not .get): a call path that forgets to inject the
+        # layer index must fail loudly, not silently evaluate layer 0's
+        # adapter for every layer
         z = fused_adapter_stacked(
-            src, params["fused"], params.get("idx", 0),
+            src, params["fused"], params["idx"],
             out_dtype=compute_dtype,
         )
         return branch_out + z

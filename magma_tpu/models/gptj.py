@@ -60,7 +60,13 @@ class GPTJConfig:
     # adapters keep fp32 masters even when the frozen LM is stored bf16
     # (they are the trainable set; optimizer quality wants fp32)
     adapter_param_dtype: Any = jnp.float32
+    # "flash" (Pallas kernel), "xla", or "ring" (context-parallel ring
+    # attention over the mesh's ``sp_axis`` — training/no-cache forwards
+    # only; cached generation paths fall back to flash.  Requires a mesh
+    # with the sp axis passed to ``forward(..., mesh=...)`` — the Trainer
+    # threads it automatically).
     attention_impl: str = "flash"
+    sp_axis: str = "sp"            # mesh axis ring attention shards over
     # "bf16" or "int8" (per-position/head scales; halves decode cache BW)
     kv_cache_dtype: str = "bf16"
     # Unroll the layer loop for s == 1 decode steps.  Static layer indices
@@ -276,6 +282,16 @@ def _serving_cast_adapters(params: Dict, mode: str = "bf16") -> Dict:
         if key not in params["blocks"]:
             continue
         ad = params["blocks"][key]
+        if "fused" in ad:
+            # already in the fused-int8 serving layout: nothing to shrink,
+            # and re-casting to int8/bf16 is impossible (the bf16 masters
+            # are gone).  Idempotent for fused_int8/bf16; loud otherwise.
+            if mode == "int8":
+                raise ValueError(
+                    f"{key} is already a fused-int8 serving payload; "
+                    "int8 re-packing needs the bf16 down/up masters "
+                    "(quantize the original params instead)")
+            continue
         if mode == "fused_int8" and "ln" not in ad:
             fz = quantize_adapter_fused(
                 ad["down"]["kernel"], ad["down"]["bias"],
@@ -525,6 +541,7 @@ def _block(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_index: Optional[jnp.ndarray],
     read_history: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One GPT-J block: parallel attention + FFN off a single layernorm.
 
@@ -563,9 +580,35 @@ def _block(
 
     new_kv = None
     if cache_kv is None:
-        attn = causal_attention(
-            q, kk, v, scale=scale, impl=cfg.attention_impl, kv_len=kv_len
-        )
+        if cfg.attention_impl == "ring":
+            # sequence/context parallelism: the sequence dim shards over
+            # the mesh's sp axis and KV blocks rotate around the ICI ring
+            # (parallel/ring_attention.py).  Training/no-cache only.
+            if mesh is None:
+                raise ValueError(
+                    "attention_impl='ring' needs a mesh: pass "
+                    "forward(..., mesh=...) (the Trainer threads it via "
+                    "Magma.sp_mesh)")
+            if kv_len is not None:
+                raise NotImplementedError(
+                    "ring attention has no right-padding mask (kv_len); "
+                    "training masks via labels instead")
+            from magma_tpu.parallel.ring_attention import \
+                context_parallel_attention
+
+            batch_axis = (
+                "dp" if "dp" in mesh.axis_names
+                and b % mesh.shape["dp"] == 0 else None
+            )
+            attn = context_parallel_attention(
+                q, kk, v, mesh, scale=scale, causal=True,
+                seq_axis=cfg.sp_axis, batch_axis=batch_axis,
+            )
+        else:
+            attn = causal_attention(
+                q, kk, v, scale=scale, impl=cfg.attention_impl,
+                kv_len=kv_len,
+            )
     else:
         # Deferred cache write: the block emits only its NEW K/V entries
         # (tiny, still full-precision); the caller quantizes (if int8) and
@@ -585,9 +628,13 @@ def _block(
                 kv_scales=None if k_sc is None else (k_sc, v_sc),
             )
         elif s > 1:
-            # prefill: keys are the just-computed prompt positions
+            # prefill: keys are the just-computed prompt positions.
+            # ("ring" is a training-time impl; cached generation uses the
+            # flash kernel — one chip holds the whole KV cache anyway)
+            impl = ("flash" if cfg.attention_impl == "ring"
+                    else cfg.attention_impl)
             attn = causal_attention(
-                q, kk, v, scale=scale, impl=cfg.attention_impl,
+                q, kk, v, scale=scale, impl=impl,
                 kv_len=kv_len, q_offset=0,
             )
         else:
@@ -702,6 +749,7 @@ def _run_blocks(
     cache_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
     read_history: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
 
@@ -717,7 +765,8 @@ def _run_blocks(
     if cache is None:
 
         def body(carry, bp):
-            y, _ = _block(cfg, bp, carry, sin, cos, kv_len, None, None)
+            y, _ = _block(cfg, bp, carry, sin, cos, kv_len, None, None,
+                          mesh=mesh)
             return y, None
 
         if remat:
@@ -875,6 +924,7 @@ def forward(
     remat: Optional[bool] = None,
     return_hidden: bool = False,
     read_history: bool = False,
+    mesh=None,                        # for attention_impl="ring" (sp axis)
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Full LM forward from embeddings.  Returns (logits fp32, new cache),
     or (hidden post-ln_f, new cache) with ``return_hidden=True`` — used by
@@ -905,7 +955,7 @@ def forward(
     x, new_cache = _run_blocks(
         cfg, params["blocks"], x, sin, cos,
         kv_len=kv_len, cache=cache, cache_index=cache_index, remat=remat,
-        read_history=read_history,
+        read_history=read_history, mesh=mesh,
     )
 
     x = _layer_norm(x, params["ln_f"], cfg.ln_eps, cdt)

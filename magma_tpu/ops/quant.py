@@ -416,32 +416,45 @@ def dequantize_int4(q4: jnp.ndarray, s4: jnp.ndarray) -> jnp.ndarray:
     return (qg * s4[..., :, None, :]).reshape(*q.shape)
 
 
+def _quantize_act_block(ref):
+    """Per-(row, k-block) int8 activation quantization inside a kernel.
+    The f32 VPU work on a (bm, 256) tile is negligible next to the
+    (256, bn) weight unpack it replaces converts for."""
+    xf = ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    return jnp.round(xf / scale).astype(jnp.int8), scale
+
+
 def _int4_matmul_stacked_kernel(idx_ref, xlo_ref, xhi_ref, w_ref,
                                 slo_ref, shi_ref, o_ref, acc_ref, *, n_k):
-    """Nibble-packed int4 tile: one (bkp, bn) int8 block carries 2*bkp
-    original weight rows.  Unpack on the VPU (sign-extending shifts),
-    dequantize by scaling the two group dot-partials — the MXU sees bf16,
-    HBM only ever sees 0.5 bytes/weight."""
+    """Nibble-packed int4 tile, W4A8 math: one (bkp, bn) int8 block
+    carries 2*bkp original weight rows.  Activations quantize to int8
+    per (row, k-block) on the VPU; nibbles sign-extend in int32 but feed
+    the MXU as int8 (int8 x int8 -> int32 dots) — skipping the
+    int32->bf16 CONVERTs that throttled the bf16 variant's weight stream
+    (in_proj 121.7 -> 117.9, fc_out 91.0 -> 87.8 us/layer; dual variant
+    137.0 -> 98.2 — scripts/exp_w4a8.py, v5e 6B decode chain).  Group
+    scales and the per-row activation scales fold on the f32 accumulator.
+    Adds ~6e-3 relative activation-quantization error on top of int4's
+    own ~1-2% weight error (KL re-validated in docs/SERVING.md)."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    xlo_q, sxlo = _quantize_act_block(xlo_ref)
+    xhi_q, sxhi = _quantize_act_block(xhi_ref)
     p32 = w_ref[0].astype(jnp.int32)               # (bkp, bn)
-    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
+    lo = ((p32 << 28) >> 28).astype(jnp.int8)
     # sext(byte) >> 4 IS the signed high nibble: one shift, not two
     # (measured ~5% on the serial decode chain; bit-identical)
-    hi = (p32 >> 4).astype(jnp.bfloat16)
-    plo = jax.lax.dot(
-        xlo_ref[...].astype(jnp.bfloat16), lo,
-        preferred_element_type=jnp.float32,
-    )
-    phi = jax.lax.dot(
-        xhi_ref[...].astype(jnp.bfloat16), hi,
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[...] += plo * slo_ref[0] + phi * shi_ref[0]
+    hi = (p32 >> 4).astype(jnp.int8)
+    plo = jax.lax.dot(xlo_q, lo, preferred_element_type=jnp.int32)
+    phi = jax.lax.dot(xhi_q, hi, preferred_element_type=jnp.int32)
+    acc_ref[...] += (plo.astype(jnp.float32) * sxlo * slo_ref[0]
+                     + phi.astype(jnp.float32) * sxhi * shi_ref[0])
 
     @pl.when(kb == n_k - 1)
     def _store():
@@ -588,25 +601,25 @@ def _int8_dual_2d(ctx, h, wq, scales, layer_idx, bk):
 def _int4_dual_kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
                       o_ref, acc_ref, *, nko, n_k):
     """int4 variant of :func:`_int8_dual_kernel` — same boundary-switching
-    accumulator over the nibble-packed weight stream."""
+    accumulator over the nibble-packed weight stream, W4A8 math (see
+    _int4_matmul_stacked_kernel: the int8 MXU dots remove the
+    int32->bf16 converts; 137.0 -> 98.2 us/layer on the 6B out_proj
+    decode chain, scripts/exp_w4a8.py)."""
     kb = pl.program_id(2)
 
     @pl.when((kb == 0) | (kb == nko))
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    xlo_q, sxlo = _quantize_act_block(xlo_ref)
+    xhi_q, sxhi = _quantize_act_block(xhi_ref)
     p32 = w_ref[0].astype(jnp.int32)
-    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
-    hi = (p32 >> 4).astype(jnp.bfloat16)
-    plo = jax.lax.dot(
-        xlo_ref[...].astype(jnp.bfloat16), lo,
-        preferred_element_type=jnp.float32,
-    )
-    phi = jax.lax.dot(
-        xhi_ref[...].astype(jnp.bfloat16), hi,
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[...] += plo * slo_ref[0] + phi * shi_ref[0]
+    lo = ((p32 << 28) >> 28).astype(jnp.int8)
+    hi = (p32 >> 4).astype(jnp.int8)
+    plo = jax.lax.dot(xlo_q, lo, preferred_element_type=jnp.int32)
+    phi = jax.lax.dot(xhi_q, hi, preferred_element_type=jnp.int32)
+    acc_ref[...] += (plo.astype(jnp.float32) * sxlo * slo_ref[0]
+                     + phi.astype(jnp.float32) * sxhi * shi_ref[0])
 
     @pl.when((kb == nko - 1) | (kb == n_k - 1))
     def _store():
@@ -779,15 +792,21 @@ def quantize_adapter_fused(down_kernel, down_bias, up_kernel, up_bias,
     qd = quantize_int8(down_kernel)
     qu = quantize_int8(up_kernel)
     su = qu["s"].reshape(L, 1, D)
+    bu = up_bias.astype(jnp.float32).reshape(L, 1, D)
     if out_scale is not None:
-        su = su * out_scale.astype(jnp.float32).reshape(L, 1, 1)
+        # scaled_parallel scales the FULL adapter output scale*(h@Wu + bu)
+        # (reference ParallelAdapter semantics), so the up bias must carry
+        # the fold too, not just the up scales
+        sc = out_scale.astype(jnp.float32).reshape(L, 1, 1)
+        su = su * sc
+        bu = bu * sc
     return {
         "wd": qd["q"],
         "sd": qd["s"].reshape(L, 1, DH),
         "bd": down_bias.astype(jnp.float32).reshape(L, 1, DH),
         "wu": qu["q"],
         "su": su,
-        "bu": up_bias.astype(jnp.float32).reshape(L, 1, D),
+        "bu": bu,
     }
 
 

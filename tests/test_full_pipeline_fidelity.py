@@ -41,6 +41,11 @@ from magma_tpu.models.magma import Magma  # noqa: E402
 
 # full-width dims (language_model.py:12-24), reduced depth.  FIDELITY_FULL=1
 # restores the complete reference geometry (384 px / 144 tokens / 4 layers).
+# slow gate: ~15 min at default (reduced) geometry on this 1-core host,
+# excluded from the default fast suite — run via `pytest -m slow`; the
+# release checklist (PARITY.md) additionally runs FIDELITY_FULL=1.
+pytestmark = pytest.mark.slow
+
 FULL = os.environ.get("FIDELITY_FULL", "0") == "1"
 L_LM, D, H, FF, RD = (4 if FULL else 2), 4096, 16, 16384, 64
 VOCAB = 50258

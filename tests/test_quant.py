@@ -197,14 +197,22 @@ def test_int4_lm_forward_close_to_fp(tiny_lm_config):
     assert int(n) == 4 and np.asarray(toks).shape == (1, 4)
 
 
+def _adapter_spec(*a, **kw):
+    from magma_tpu.models.adapters import AdapterSpec
+
+    return AdapterSpec(*a, **kw)
+
+
 def test_serving_adapter_packing():
-    """Quantized serving stores adapters bf16 (int8 measured slower in the
-    serial decode chain); the opt-in int8 mode must still argmax-match."""
+    """Quantized serving defaults adapters to the fused-int8 single-launch
+    payload; off-geometry dims fall back to bf16; opt-in int8 packing
+    (via the training layout) still argmax-matches; re-packing an
+    already-fused payload fails loudly."""
+    import pytest
+
     cfg = gptj.GPTJConfig.tiny(
         d_model=256, n_heads=2, d_ff=1024,
-        mlp_adapter=__import__(
-            "magma_tpu.models.adapters", fromlist=["AdapterSpec"]
-        ).AdapterSpec("normal", 2),  # hidden 128: int8-eligible
+        mlp_adapter=_adapter_spec("normal", 2),  # hidden 128: fuse-eligible
     )
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 256)) * 0.02
     p0 = gptj.init_params(jax.random.PRNGKey(0), cfg)
@@ -221,14 +229,38 @@ def test_serving_adapter_packing():
         jax.tree_util.tree_map(lambda t: t, p0)
     )
     ad = qp["blocks"]["adapter_mlp"]
-    assert ad["down"]["kernel"].dtype == jnp.bfloat16  # serving default
-    assert ad["down"]["bias"].dtype == jnp.bfloat16
+    assert set(ad) == {"fused"}  # serving default: fused-int8 payload
+    assert ad["fused"]["wd"].dtype == jnp.int8
+    assert ad["fused"]["wu"].dtype == jnp.int8
     l1, _ = gptj.forward(cfg, qp, emb)
     assert int(jnp.argmax(l0[0, -1])) == int(jnp.argmax(l1[0, -1]))
 
-    # opt-in int8 adapter packing (memory-constrained deployments)
+    # re-packing a fused payload to int8 must fail loudly (masters gone)
+    with pytest.raises(ValueError, match="fused"):
+        gptj._serving_cast_adapters(qp, mode="int8")
+    # ...but fused_int8 / bf16 are idempotent no-ops
+    assert gptj._serving_cast_adapters(qp, mode="fused_int8") is qp
+
+    # off-geometry dims (hidden 64 < 128): fused packing rejects, bf16
+    # fallback keeps the down/up layout
+    cfg_odd = gptj.GPTJConfig.tiny(
+        d_model=256, n_heads=2, d_ff=1024,
+        mlp_adapter=_adapter_spec("normal", 4),  # hidden 64: off-geometry
+    )
+    p_odd = gptj.init_params(jax.random.PRNGKey(0), cfg_odd)
+    l_odd, _ = gptj.forward(cfg_odd, p_odd, emb)
+    qp_odd = gptj.quantize_lm_params(p_odd)
+    ad_odd = qp_odd["blocks"]["adapter_mlp"]
+    assert ad_odd["down"]["kernel"].dtype == jnp.bfloat16
+    assert ad_odd["down"]["bias"].dtype == jnp.bfloat16
+    l_odd_q, _ = gptj.forward(cfg_odd, qp_odd, emb)
+    assert int(jnp.argmax(l_odd[0, -1])) == int(jnp.argmax(l_odd_q[0, -1]))
+
+    # opt-in int8 adapter packing (memory-constrained deployments) starts
+    # from the training layout (fuse_out_proj=False keeps bf16 adapters)
     qp8 = gptj._serving_cast_adapters(
-        gptj.quantize_lm_params(jax.tree_util.tree_map(lambda t: t, p0)),
+        gptj.quantize_lm_params(
+            jax.tree_util.tree_map(lambda t: t, p0), fuse_out_proj=False),
         mode="int8",
     )
     ad8 = qp8["blocks"]["adapter_mlp"]
@@ -236,6 +268,69 @@ def test_serving_adapter_packing():
     assert ad8["down"]["kernel"]["q"].dtype == jnp.int8
     l2, _ = gptj.forward(cfg, qp8, emb)
     assert int(jnp.argmax(l0[0, -1])) == int(jnp.argmax(l2[0, -1]))
+
+
+def test_fused_adapter_matches_bottleneck():
+    """quantize_adapter_fused + fused_adapter_stacked (XLA fallback path;
+    the Pallas launch is bit-checked on chip in tests/test_tpu_smoke.py)
+    vs the bf16 _bottleneck reference, for every adapter type including
+    scaled_parallel with a non-unit scale — the out_scale fold must cover
+    the up BIAS as well as the up scales."""
+    from magma_tpu.models.adapters import (AdapterSpec, apply_adapter,
+                                           init_adapter)
+    from magma_tpu.ops.quant import fused_adapter_stacked, \
+        quantize_adapter_fused
+
+    L, D, DS = 3, 256, 2  # hidden 128: kernel-eligible geometry
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 80, D)) * 0.5  # m>64
+    fx = jax.random.normal(jax.random.PRNGKey(1), (2, 80, D)) * 0.5
+    for atype in ("normal", "parallel", "scaled_parallel"):
+        spec = AdapterSpec(atype, DS)
+        p = init_adapter(jax.random.PRNGKey(2), spec, D, L)
+        # trained-scale weights + biases so quantization error is visible
+        for proj, kk in (("down", 3), ("up", 4)):
+            p[proj]["kernel"] = jax.random.normal(
+                jax.random.PRNGKey(kk), p[proj]["kernel"].shape) * 0.1
+            p[proj]["bias"] = jax.random.normal(
+                jax.random.PRNGKey(kk + 2), p[proj]["bias"].shape) * 0.1
+        if atype == "scaled_parallel":
+            p["scale"] = jnp.full((L,), 3.0)  # non-unit: exercises the fold
+
+        fz = quantize_adapter_fused(
+            p["down"]["kernel"], p["down"]["bias"],
+            p["up"]["kernel"], p["up"]["bias"],
+            out_scale=p.get("scale"),
+        )
+        assert fz is not None
+        for li in range(L):
+            p_l = jax.tree_util.tree_map(lambda t: t[li], p)
+            ref = apply_adapter(p_l, spec, x, fx, compute_dtype=jnp.float32)
+            got = apply_adapter({"fused": fz, "idx": li}, spec, x, fx,
+                                compute_dtype=jnp.float32)
+            err = float(jnp.linalg.norm(got - ref)
+                        / jnp.linalg.norm(ref - fx))
+            assert err < 0.02, (atype, li, err)
+
+    # off-geometry dims reject cleanly
+    assert quantize_adapter_fused(
+        jnp.zeros((L, D, 64)), jnp.zeros((L, 64)),
+        jnp.zeros((L, 64, D)), jnp.zeros((L, D))) is None
+
+
+def test_fused_adapter_missing_idx_fails_loudly():
+    """A fused payload without an injected layer index must raise, not
+    silently evaluate layer 0's adapter."""
+    import pytest
+
+    from magma_tpu.models.adapters import AdapterSpec, apply_adapter
+    from magma_tpu.ops.quant import quantize_adapter_fused
+
+    fz = quantize_adapter_fused(
+        jnp.ones((1, 256, 128)) * 0.01, jnp.zeros((1, 128)),
+        jnp.ones((1, 128, 256)) * 0.01, jnp.zeros((1, 256)))
+    x = jnp.zeros((1, 4, 256))
+    with pytest.raises(KeyError):
+        apply_adapter({"fused": fz}, AdapterSpec("normal", 2), x, x)
 
 
 def test_dual_matmul_stacked_matches_separate():

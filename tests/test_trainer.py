@@ -58,6 +58,7 @@ def test_partition_combine_roundtrip():
     np.testing.assert_array_equal(np.asarray(merged["b"]["c"]), np.zeros(3))
 
 
+@pytest.mark.slow  # ~200 s on the 1-core sandbox: the 10-step overfit gate
 def test_train_loss_decreases(trainer):
     images, caps = _batch()
     losses = [trainer.train_step(images, caps) for _ in range(5)]
