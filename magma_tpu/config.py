@@ -119,12 +119,17 @@ class MultimodalConfig:
     # "all remaining devices".
     mesh_dp: int = -1
     mesh_tp: int = 1
+    # Sequence-parallel axis size (ring attention over "sp"); > 1 adds an
+    # "sp" mesh axis and requires attention_impl="ring".
+    mesh_sp: int = 1
     # Compute/parameter precision.  bf16 is TPU-native and replaces the
     # reference's fp16 + dynamic loss scaling (magma/config.py:128).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"  # trainable params; frozen LM stored in bf16
     frozen_dtype: str = "bfloat16"
-    # Attention implementation: "flash" (Pallas) or "xla" (reference einsum).
+    # Attention implementation: "flash" (Pallas kernel), "xla" (reference
+    # einsum), or "ring" (context-parallel over the mesh "sp" axis —
+    # shards the training sequence across chips, parallel/ring_attention).
     attention_impl: str = "flash"
     # Remat (gradient checkpointing) for LM blocks; replaces
     # language_model.py:23 gradient_checkpointing.

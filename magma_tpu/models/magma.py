@@ -116,6 +116,9 @@ class Magma:
 
         self.prefix_config = build_prefix_config(config, self.lm_config)
         self.image_prefix_seq_len = self.prefix_config.out_seq_len
+        # sequence-parallel mesh for attention_impl="ring": the Trainer
+        # sets this to its mesh; eager use can assign it directly
+        self.sp_mesh = None
 
         from magma_tpu.data.transforms import get_transforms
 
@@ -339,13 +342,15 @@ class Magma:
             [input_embeddings, word_embeds[:, : self.seq_len - s_img]], axis=1
         )
         if return_logits:
-            logits, _ = gptj.forward(self.lm_config, params["lm"], embeds)
+            logits, _ = gptj.forward(self.lm_config, params["lm"], embeds,
+                                     mesh=self.sp_mesh)
             loss = causal_lm_loss(logits, labels, self.lm_config.vocab_size)
             return loss, (new_state, logits)
         # training path: chunked loss — the full fp32 logits tensor never
         # materializes (see training/labels.py)
         hidden, _ = gptj.forward(
-            self.lm_config, params["lm"], embeds, return_hidden=True
+            self.lm_config, params["lm"], embeds, return_hidden=True,
+            mesh=self.sp_mesh,
         )
         loss = causal_lm_loss_chunked(
             self.lm_config, params["lm"], hidden, labels

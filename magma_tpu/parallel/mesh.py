@@ -20,9 +20,12 @@ from jax.sharding import Mesh
 def make_mesh(
     dp: int = -1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ("dp", "tp") mesh.  dp == -1 means all remaining devices.
+    """Build a ("dp", "tp") mesh — plus an "sp" axis when sp > 1 (sequence
+    / context parallelism: ring attention shards the sequence over it, see
+    parallel/ring_attention.py).  dp == -1 means all remaining devices.
 
     For multi-host pods call ``jax.distributed.initialize()`` first; the
     mesh then spans all processes' devices and XLA routes collectives over
@@ -31,8 +34,14 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        assert n % (tp * sp) == 0, \
+            f"{n} devices not divisible by tp*sp={tp * sp}"
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, \
+        f"dp({dp}) * tp({tp}) * sp({sp}) != devices({n})"
+    if sp == 1:
+        arr = np.asarray(devices).reshape(dp, tp)
+        return Mesh(arr, axis_names=("dp", "tp"))
+    # sp innermost: ring ppermute hops ride neighbouring ICI links
+    arr = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))

@@ -27,19 +27,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from magma_tpu.ops.attention import NEG_INF  # shared masking constant
 
 
-def _mark_varying(t, axis_name):
-    """Mark a fresh constant as varying over ``axis_name`` for shard_map's
-    varying-type checker.  The API churned across jax releases —
-    ``pcast(..., to='varying')`` (0.9+), ``pvary`` (0.5.x–0.8,
-    deprecated after) — and older versions need no marking at all, so
-    probe at call time instead of pinning one spelling."""
-    pcast = getattr(jax.lax, "pcast", None)
-    if pcast is not None:
-        return pcast(t, axis_name, to="varying")
-    pvary = getattr(jax.lax, "pvary", None)
-    if pvary is not None:
-        return pvary(t, (axis_name,))
-    return t
+# shard_map's varying-type checker requires fresh constants (scan carries,
+# dead lax.cond branches) to carry the same mesh-axis "varying" type as the
+# data they merge with.  Rather than chasing the marking API across jax
+# releases (pcast/pvary/none), constants are built as `const + _zero(q)`:
+# a data-derived scalar zero whose varying axes are exactly q's — correct
+# for ANY combination of sequence/batch axes the caller sharded over.
+
+
+def _zero(t):
+    return t[(0,) * t.ndim] * 0
 
 
 def _partial_attention(q, k, v, *, scale, q_offset, kv_offset, causal):
@@ -95,19 +92,19 @@ def ring_attention(
             # half of all ring steps are dead compute otherwise.  Both
             # branches are collective-free, so the program stays static.
             live = kv_offset <= q_offset + s_local - 1
+            zq = _zero(q).astype(jnp.float32)
+            zk = _zero(k_blk).astype(jnp.float32)
             m_new, l_new, o_new = jax.lax.cond(
                 live,
                 lambda: _partial_attention(
                     q, k_blk, v_blk, scale=scale, q_offset=q_offset,
                     kv_offset=kv_offset, causal=causal,
                 ),
-                lambda: tuple(
-                    _mark_varying(t, axis_name)  # match varying types
-                    for t in (
-                        jnp.full((b, h, s_local, 1), -1e30, jnp.float32),
-                        jnp.zeros((b, h, s_local, 1), jnp.float32),
-                        jnp.zeros((b, s_local, h, hd), jnp.float32),
-                    )
+                lambda: (
+                    jnp.full((b, h, s_local, 1), -1e30, jnp.float32)
+                    + zq + zk,
+                    jnp.zeros((b, h, s_local, 1), jnp.float32) + zq + zk,
+                    jnp.zeros((b, s_local, h, hd), jnp.float32) + zq + zk,
                 ),
             )
         else:
@@ -130,12 +127,13 @@ def ring_attention(
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         return (m_next, l_next, o_next, k_blk, v_blk), None
 
-    m0 = jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, s_local, 1), jnp.float32)
-    o0 = jnp.zeros((b, s_local, h, hd), jnp.float32)
-    # fresh constants are unvarying over the mesh axis; the carry becomes
-    # varying after the first step — mark them up front (shard_map typing)
-    m0, l0, o0 = (_mark_varying(t, axis_name) for t in (m0, l0, o0))
+    # fresh constants are unvarying over the mesh axes; the carry becomes
+    # varying after the first step — seed them with q/k-derived zeros so
+    # the scan carry type is stable from step 0 (shard_map typing)
+    z = (_zero(q) + _zero(k) + _zero(v)).astype(jnp.float32)
+    m0 = jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32) + z
+    l0 = jnp.zeros((b, h, s_local, 1), jnp.float32) + z
+    o0 = jnp.zeros((b, s_local, h, hd), jnp.float32) + z
     (m_f, l_f, o_f, _, _), _ = jax.lax.scan(
         step, (m0, l0, o0, k, v), jnp.arange(n)
     )
@@ -152,11 +150,17 @@ def context_parallel_attention(
     scale: float,
     causal: bool = True,
     seq_axis: str = "dp",
+    batch_axis: str = None,
 ) -> jnp.ndarray:
     """jit-level wrapper: shards the sequence over ``seq_axis`` and runs
     ring attention.  Drop-in replacement for ops.attention.causal_attention
-    when one chip cannot hold the full sequence's KV."""
-    spec = P(None, seq_axis, None, None)
+    when one chip cannot hold the full sequence's KV.
+
+    ``batch_axis`` keeps the batch dim sharded (e.g. over "dp") INSIDE the
+    shard_map — without it a dp-sharded training batch would be
+    all-gathered at the shard_map boundary and each dp group would
+    redundantly attend over the full batch."""
+    spec = P(batch_axis, seq_axis, None, None)
     fn = functools.partial(
         ring_attention, axis_name=seq_axis, scale=scale, causal=causal
     )

