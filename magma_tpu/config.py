@@ -115,6 +115,10 @@ class MultimodalConfig:
     # TPU-native fields (no reference equivalent; replace the DeepSpeed
     # config dict synthesized at magma/config.py:124-134)
     # ------------------------------------------------------------
+    # Refuse the byte-fallback tokenizer (raise instead of warn) — set in
+    # production so garbage text can never ship with perfect shapes; the
+    # reference always runs real GPT-2 BPE (magma/utils.py:43-58).
+    strict_tokenizer: bool = False
     # Mesh: data-parallel x tensor-parallel axis sizes.  -1 on dp means
     # "all remaining devices".
     mesh_dp: int = -1

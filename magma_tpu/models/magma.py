@@ -110,7 +110,10 @@ class Magma:
             config.seq_len or self.lm_config.max_seq_len,
             self.lm_config.max_seq_len,
         )
-        self.tokenizer = get_tokenizer("gpt2", sequence_length=self.seq_len)
+        self.tokenizer = get_tokenizer(
+            "gpt2", sequence_length=self.seq_len,
+            strict=getattr(config, "strict_tokenizer", False),
+        )
         self.image_token = self.tokenizer.cls_token_id
         self.eos_token = self.tokenizer.eos_token_id
 

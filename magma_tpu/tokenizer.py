@@ -149,16 +149,40 @@ def _find_gpt2_files() -> Optional[tuple]:
     return None
 
 
+def _byte_fallback(sequence_length: int, strict: bool) -> MagmaTokenizer:
+    """The byte fallback keeps every SHAPE correct while producing
+    garbage TEXT on real prompts — in a deployment that must never
+    engage silently (the reference always runs real GPT-2 BPE,
+    magma/utils.py:43-58)."""
+    msg = (
+        "No GPT-2 BPE assets found — falling back to the byte-level "
+        "tokenizer (correct id space, WRONG text mapping for real "
+        "prompts).  Point MAGMA_TPU_GPT2_DIR at a directory containing "
+        "vocab.json + merges.txt (or pass vocab_file/merges_file) for "
+        "production text."
+    )
+    if strict:
+        raise FileNotFoundError(msg)
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    return ByteFallbackTokenizer(sequence_length)
+
+
 def get_tokenizer(
     name: str = "gpt2",
     sequence_length: int = 2048,
     vocab_file: Optional[str] = None,
     merges_file: Optional[str] = None,
+    strict: bool = False,
 ) -> MagmaTokenizer:
     """Get the LM tokenizer.  Parity: reference magma/utils.py:43-58.
 
-    Resolution order: explicit files -> local gpt2 assets ->
-    HF-cached GPT2TokenizerFast (offline mode) -> byte-level fallback.
+    Resolution order: explicit files -> local gpt2 assets
+    (``MAGMA_TPU_GPT2_DIR``, ``~/.cache/magma_tpu/gpt2``) -> HF-cached
+    GPT2TokenizerFast (offline mode) -> byte-level fallback (warns; with
+    ``strict=True`` raises instead — set it in production so garbage
+    text can never ship with perfect shapes).
     """
     if name != "gpt2":
         raise ValueError(f"Tokenizer {name} not recognized")
@@ -175,7 +199,7 @@ def get_tokenizer(
     # stall for minutes on air-gapped hosts otherwise.
     hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface"))
     if not (hf_home / "hub" / "models--gpt2").exists():
-        return ByteFallbackTokenizer(sequence_length)
+        return _byte_fallback(sequence_length, strict)
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
     os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
     try:
@@ -200,4 +224,4 @@ def get_tokenizer(
     except Exception:
         pass
 
-    return ByteFallbackTokenizer(sequence_length)
+    return _byte_fallback(sequence_length, strict)

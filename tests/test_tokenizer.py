@@ -103,3 +103,28 @@ def test_bpe_env_dir_resolution(tmp_path, monkeypatch):
     tok = get_tokenizer("gpt2", sequence_length=16)
     assert isinstance(tok, GPT2BPETokenizer)
     assert tok.model_max_length == 16
+
+
+def test_byte_fallback_warns_and_strict_raises(tmp_path, monkeypatch):
+    """The byte fallback must never engage silently (VERDICT r3 item 6):
+    it warns by default and raises under strict=True — production sets
+    MultimodalConfig.strict_tokenizer."""
+    import warnings
+
+    import pytest
+
+    from magma_tpu.tokenizer import ByteFallbackTokenizer, get_tokenizer
+
+    # force the no-assets path regardless of this host's caches
+    monkeypatch.delenv("MAGMA_TPU_GPT2_DIR", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    monkeypatch.setenv("HOME", str(tmp_path))
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        tok = get_tokenizer("gpt2", sequence_length=64)
+    assert isinstance(tok, ByteFallbackTokenizer)
+    assert any("MAGMA_TPU_GPT2_DIR" in str(w.message) for w in rec)
+
+    with pytest.raises(FileNotFoundError, match="GPT-2 BPE"):
+        get_tokenizer("gpt2", sequence_length=64, strict=True)
