@@ -96,6 +96,39 @@ def shard_params(mesh: Mesh, params):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def shard_lm_params(mesh: Mesh, lm_params):
+    """Place a bare LM parameter tree (no "lm/" prefix) onto the mesh
+    with Megatron-style tensor-parallel layouts — the serving engine's
+    placement (serving/engine.py)."""
+
+    def fn(path, leaf):
+        return jax.device_put(
+            leaf,
+            NamedSharding(
+                mesh, lm_param_spec("lm/" + _path_str(path), leaf.ndim)
+            ),
+        )
+
+    return jax.tree_util.tree_map_with_path(fn, lm_params)
+
+
+def kv_cache_spec(name: str) -> P:
+    """Spec for one KV-cache entry: K/V (L, b, max_len, h, hd) shard over
+    heads (matching the head-sharded q/k/v projections); the
+    position-minor int8 scales (L, b, h, max_len) shard on their h axis."""
+    if name.endswith("_scale"):
+        return P(None, None, "tp", None)
+    return P(None, None, None, "tp", None)
+
+
+def shard_kv_cache(mesh: Mesh, cache):
+    """Place a gptj.init_kv_cache pytree onto the mesh head-sharded."""
+    return {
+        name: jax.device_put(v, NamedSharding(mesh, kv_cache_spec(name)))
+        for name, v in cache.items()
+    }
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Input batches shard their leading axis across data parallelism."""
     return NamedSharding(mesh, P("dp"))

@@ -96,10 +96,17 @@ class FinishedRequest:
 class _CacheGroup:
     """One size class: a dense (B, max_len) cache pool + host bookkeeping."""
 
-    def __init__(self, cfg, max_batch: int, max_len: int, eos_token: int):
+    def __init__(self, cfg, max_batch: int, max_len: int, eos_token: int,
+                 mesh=None):
         self.max_batch = max_batch
         self.max_len = max_len
         self.cache = gptj.init_kv_cache(cfg, max_batch, max_len)
+        if mesh is not None:
+            # head-sharded pool, matching the head-sharded projections —
+            # decode/install programs then run fully under GSPMD
+            from magma_tpu.parallel.sharding import shard_kv_cache
+
+            self.cache = shard_kv_cache(mesh, self.cache)
         self.cur_lens = np.zeros(max_batch, np.int32)
         self.last_toks = np.full(max_batch, eos_token, np.int32)
         self.slots: List[Optional[_Slot]] = [None] * max_batch
@@ -350,8 +357,30 @@ class LMServingEngine:
         decode_window: int = 4,
         prefill_chunk: int = 0,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: a jax.sharding.Mesh with a "tp" axis — the engine
+        then serves a TENSOR-PARALLEL LM: params are placed with the
+        Megatron-style layouts (parallel/sharding.py lm_param_spec), the
+        KV pools/scratch caches shard over heads, and every compiled
+        program (prefill, install, decode window) runs under GSPMD with
+        XLA-inserted collectives.  This is what makes bf16-6B serving
+        possible off a single chip (the params must still be the raw or
+        bf16-packed layout for clean head-aligned shardings — the fused
+        int8 in_proj concatenates [q|k|v|fc_in], which GSPMD still
+        handles but with extra resharding).  n_heads must divide by the
+        tp size.  Output tokens are replicated — identical to the
+        single-device engine."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            if cfg.n_heads % mesh.shape["tp"]:
+                raise ValueError(
+                    f"n_heads {cfg.n_heads} not divisible by tp="
+                    f"{mesh.shape['tp']}")
+            from magma_tpu.parallel.sharding import shard_lm_params
+
+            params = shard_lm_params(mesh, params)
         self.params = params
         if cache_classes is None:
             cache_classes = ((max_batch, max_len),)
@@ -381,7 +410,8 @@ class LMServingEngine:
         self._next_id = 0
 
         self.groups = [
-            _CacheGroup(cfg, b, ml, eos_token) for b, ml in self.classes
+            _CacheGroup(cfg, b, ml, eos_token, mesh=mesh)
+            for b, ml in self.classes
         ]
         self.pending = collections.deque()
         self.finished: Dict[int, FinishedRequest] = {}

@@ -404,3 +404,48 @@ def test_per_request_sampling_varies_output(lm):
             diverged = True
             break
     assert diverged
+
+
+def test_engine_tensor_parallel_matches_single_device(lm):
+    """LMServingEngine(mesh=tp2): the engine's full production path —
+    pools, scratch caches, prefill/install/decode-window programs —
+    under GSPMD with head-sharded params/caches must be token-identical
+    to the single-device engine (VERDICT r3 item 5)."""
+    from jax.sharding import Mesh
+
+    cfg, params = lm
+    prompts = [_prompt(i, s, cfg.d_model)
+               for i, s in ((1, 5), (2, 11), (3, 8))]
+
+    ref = {}
+    eng0 = LMServingEngine(cfg, params, max_batch=4, max_len=128,
+                           eos_token=EOS, prefill_bucket=8,
+                           decode_window=3)
+    ids0 = [eng0.submit(p, max_new_tokens=10) for p in prompts]
+    for rid, r in eng0.run().items():
+        ref[ids0.index(rid)] = r.tokens
+
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("tp",))
+    eng = LMServingEngine(cfg, params, max_batch=4, max_len=128,
+                          eos_token=EOS, prefill_bucket=8,
+                          decode_window=3, mesh=mesh)
+    # pools actually live head-sharded on the tp mesh
+    sh = eng.groups[0].cache["k"].sharding
+    assert sh.spec[3] == "tp", sh
+    # and the params carry Megatron layouts, not replication
+    assert eng.params["blocks"]["attn"]["q"].sharding.spec[2] == "tp"
+    ids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    results = eng.run()
+    for i, rid in enumerate(ids):
+        assert results[rid].tokens == ref[i], (
+            f"req {i}: tp {results[rid].tokens} != single {ref[i]}"
+        )
+
+
+def test_engine_tp_rejects_unsplittable_heads(lm):
+    from jax.sharding import Mesh
+
+    cfg, params = lm
+    mesh = Mesh(np.array(jax.devices()[:3]), axis_names=("tp",))
+    with pytest.raises(ValueError, match="n_heads"):
+        LMServingEngine(cfg, params, mesh=mesh)  # 4 heads, tp=3
