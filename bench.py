@@ -222,6 +222,102 @@ def main():
         cfg=lm_cfg_kv8,
     )
 
+    # ---- stage 3: prefill throughput (1984-token prompt, one pass) ----
+    jax.clear_caches()
+    cache0 = gptj.init_kv_cache(lm_cfg_kv8, 1, 2048)
+
+    @jax.jit
+    def prefill(p, e, c):
+        logits, c = gptj.forward(lm_cfg_kv8, p, e, cache=c,
+                                 cache_index=jnp.int32(0))
+        return logits[:, -1].sum(), c
+
+    s_pref = prompt_long.shape[1]
+    _, cache0 = prefill(lm_params, prompt_long, cache0)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out, cache0 = prefill(lm_params, prompt_long, cache0)
+        float(out)
+        times.append(time.time() - t0)
+    tps_prefill = s_pref / sorted(times)[1]
+    log(f"[prefill int8 s={s_pref}] p50 {sorted(times)[1]*1e3:.0f} ms -> "
+        f"{tps_prefill:.0f} tok/s")
+    del cache0
+
+    # ---- stage 4: serving-engine mixed workload (BASELINE config 3-ish:
+    # continuous batching of interleaved long-context requests — the
+    # regime the monolithic generate program cannot even compile at) ----
+    from magma_tpu.serving import LMServingEngine
+
+    jax.clear_caches()
+    eng = LMServingEngine(
+        dataclasses.replace(lm_cfg, kv_cache_dtype="int8"), lm_params,
+        max_batch=8, max_len=2048, eos_token=-1, prefill_bucket=64,
+        decode_window=8, prefill_chunk=0,
+    )
+    lens = [max(64, 1920 * (i % 4 + 1) // 4) for i in range(8)]
+    embs = [jax.random.normal(jax.random.PRNGKey(i), (L, lm_cfg.d_model),
+                              jnp.bfloat16) * 0.02
+            for i, L in enumerate(lens)]
+
+    def engine_round():
+        done_before = sum(len(r.tokens) for r in eng.finished.values())
+        t0 = time.time()
+        for e in embs:
+            eng.submit(e, max_new_tokens=64)
+        eng.run()
+        dt = time.time() - t0
+        total = sum(
+            len(r.tokens) for r in eng.finished.values()) - done_before
+        return total / dt
+
+    engine_round()  # compiles
+    tps_engine = engine_round()
+    log(f"[engine int8w/int8kv b=8 mixed ctx<=1920] steady "
+        f"{tps_engine:.0f} tok/s aggregate")
+    del eng, embs, lm_params
+    jax.clear_caches()
+
+    # ---- stage 5: QLoRA finetuning step (BASELINE config 5: adapters
+    # against the frozen int8 6B + trainable image prefix, the v1 recipe
+    # at single-chip scale; scripts/train_6b_onchip.py measured history)
+    from magma_tpu.config import MultimodalConfig
+    from magma_tpu.models.magma import Magma
+    from magma_tpu.training.train_loop import Trainer
+
+    seq = 256
+    t_cfg = MultimodalConfig(
+        batch_size=1, train_steps=8, gradient_accumulation_steps=1,
+        encoder_name="clip_resnet_large",
+        adapter_config={
+            "mlp": {"adapter_type": "normal", "downsample_factor": 4}},
+        use_image_embed_layernorm=True, image_embed_dropout_prob=0.1,
+        freeze_lm=True, freeze_img_encoder=True, train_lm_int8=True,
+        seq_len=seq, image_size=384,
+        lm_overrides=dict(remat=False, attention_impl="flash"),
+        lr=8.0e-4,
+    )
+    model = Magma(t_cfg)
+    jax.clear_caches()
+    trainer = Trainer(model, t_cfg)
+    jax.clear_caches()
+    rng_np = __import__("numpy").random.RandomState(0)
+    t_images = jnp.asarray(rng_np.rand(1, 3, 384, 384).astype("float32"))
+    caps = __import__("numpy").full((1, seq), 50256, "int32")
+    caps[:, : seq // 2] = rng_np.randint(0, 50000, (1, seq // 2))
+    t_caps = jnp.asarray(caps)
+    loss = trainer.train_step(t_images, t_caps)  # compile
+    t0 = time.time()
+    n_steps = 6
+    for _ in range(n_steps - 1):
+        trainer.train_step(t_images, t_caps, sync=False)
+    loss = trainer.train_step(t_images, t_caps)  # sync once at the end
+    t_train_step = (time.time() - t0) / n_steps
+    tps_train = seq / t_train_step
+    log(f"[QLoRA 6B train b=1 seq={seq}] {t_train_step*1e3:.0f} ms/step "
+        f"-> {tps_train:.0f} train tok/s/chip (loss {loss:.3f})")
+
     tps = tps_int8
     result = {
         "metric": "generate_tokens_per_sec_per_chip",
@@ -238,6 +334,10 @@ def main():
             "decode_tps_int4_b1": round(tps_int4, 2),
             "decode_tps_int4_b8": round(tps_int4_b8, 2),
             "decode_tps_int8_b1_ctx1984_kvint8": round(tps_int8_long, 2),
+            "prefill_tps_int8_s1984": round(tps_prefill, 1),
+            "engine_mixed_tps_int8_b8": round(tps_engine, 1),
+            "train_qlora_s_per_step_b1_seq256": round(t_train_step, 4),
+            "train_qlora_tokens_per_s_per_chip": round(tps_train, 1),
             "caption_e2e_p50_s": round(t_int8 + t_vision_ms / 1e3, 3),
             "vision_p50_ms": round(t_vision_ms, 1),
             "vision_device_ms": round(t_vision_dev_ms, 2),
