@@ -63,11 +63,17 @@ def test_ring_gradients_match():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_ring_train_step_matches_xla(tmp_path):
     """attention_impl='ring' as a real config knob: a FULL train step
     (fwd+bwd+optimizer) on a dp2 x sp4 mesh must match the same step with
     plain XLA attention — the sequence is sharded over "sp" and KV blocks
-    ride the ring, gradients included (VERDICT r3 item 4)."""
+    ride the ring, gradients included (VERDICT r3 item 4).
+
+    slow: two full Trainer compiles (~215 s on this 1-core host).  The
+    fast suite keeps the op-level + gradient ring tests above, and the
+    driver's dryrun_multichip runs this same ring TRAINING step every
+    round."""
     from magma_tpu.config import MultimodalConfig
     from magma_tpu.models.magma import Magma
     from magma_tpu.training.train_loop import Trainer
