@@ -461,6 +461,26 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
+    # f32 vector stacks for the single-launch boundary kernel
+    # (ops/quant.boundary_fused_stacked): row l of ln_g/ln_b is the LN
+    # that FOLLOWS layer l — ln_1[l+1] for mid layers, ln_f after the last
+    blocks = params["blocks"]
+
+    def f32(t):
+        return t.astype(jnp.float32)
+
+    bvecs = {
+        "b_fc_out": f32(mlp["fc_out"]["bias"]),
+        "ln_g": jnp.concatenate(
+            [f32(blocks["ln_1"]["scale"][1:]),
+             f32(params["ln_f"]["scale"])[None]], axis=0),
+        "ln_b": jnp.concatenate(
+            [f32(blocks["ln_1"]["bias"][1:]),
+             f32(params["ln_f"]["bias"])[None]], axis=0),
+    }
+    if "o_bias" in attn:
+        bvecs["o_bias"] = f32(attn["o_bias"])
+    blocks["bvecs"] = bvecs
     return _serving_cast_adapters(params, mode="fused_int8")
 
 
@@ -803,6 +823,99 @@ def _run_blocks(
     return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
+def _boundary_ok(cfg: GPTJConfig, blocks: Dict, x: jnp.ndarray) -> bool:
+    """Can this decode step take the single-launch boundary path?  Needs
+    the int4 fused layouts (in_proj + out_proj + bvecs from
+    ``quantize_lm_params_int4``), fused-or-absent adapters, and the b <= 8
+    row regime the kernel tiles for."""
+    if x.shape[1] != 1 or x.shape[0] > 8:
+        return False
+    attn = blocks["attn"]
+    if "bvecs" not in blocks:
+        return False
+    for k in ("in_proj", "out_proj"):
+        w = attn.get(k)
+        if not (isinstance(w, dict) and "q4" in w):
+            return False
+    for name, spec in (("adapter_mlp", cfg.mlp_adapter),
+                       ("adapter_attn", cfg.attn_adapter)):
+        if spec is not None and "fused" not in blocks.get(name, {}):
+            return False
+    return True
+
+
+def _run_decode_boundary(
+    cfg: GPTJConfig,
+    blocks: Dict,
+    x: jnp.ndarray,
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    cache: Dict,
+    cache_index: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Unrolled s==1 decode over boundary-fused launches: ONE Pallas call
+    per layer covers [o_proj + fc_out + adapters + residual + next ln_1 +
+    next in_proj]; only rotary + cache attention + gelu stay in XLA
+    between launches.  Numerically the same op sequence as the per-layer
+    ``_block`` path (ops/quant.boundary_fused_stacked and its fallback
+    ``_boundary_ref`` mirror it); measured 196.3 vs 256.8 us/layer on the
+    6B int4 chain (scripts/exp_boundary.py)."""
+    from magma_tpu.ops.quant import (boundary_fused_stacked,
+                                     int4_matmul_stacked)
+
+    L, D = cfg.n_layers, cfg.d_model
+    b = x.shape[0]
+    cdt = cfg.compute_dtype
+    h, hd = cfg.n_heads, cfg.head_dim
+    scale = (1.0 / hd ** 0.5) if cfg.scale_attn else 1.0
+    attn_w = blocks["attn"]
+    bv = blocks["bvecs"]
+    fc_in_b = blocks["mlp"]["fc_in"]["bias"]
+
+    def adapter_of(name, spec):
+        if spec is None:
+            return None, "out"
+        src = "out" if spec.adapter_type == "normal" else "in"
+        return blocks[name]["fused"], src
+
+    fz_mlp, mlp_src = adapter_of("adapter_mlp", cfg.mlp_adapter)
+    fz_attn, attn_src = adapter_of("adapter_attn", cfg.attn_adapter)
+    idx = cache_index.astype(jnp.int32)
+
+    x2 = x.reshape(b, D)
+    u2 = _layer_norm(
+        x2, {"scale": blocks["ln_1"]["scale"][0],
+             "bias": blocks["ln_1"]["bias"][0]}, cfg.ln_eps, cdt)
+    fused = int4_matmul_stacked(
+        u2, attn_w["in_proj"]["q4"], attn_w["in_proj"]["s4"], 0,
+        out_dtype=cdt)
+    k_news, v_news = [], []
+    for l in range(L):
+        qkv3 = fused[:, : 3 * D]
+        m_pre = fused[:, 3 * D:]
+        q, kk, v = (t.reshape(b, 1, h, hd) for t in jnp.split(qkv3, 3, -1))
+        q = apply_rotary(q, sin, cos, cfg.rotary_dim)
+        kk = apply_rotary(kk, sin, cos, cfg.rotary_dim)
+        k_news.append(kk.astype(cdt))
+        v_news.append(v.astype(cdt))
+        ctx2 = _decode_xla(cfg, cache, l, q, idx, kk, v, scale).reshape(b, D)
+        mh2 = jax.nn.gelu(m_pre + fc_in_b[l].astype(cdt), approximate=True)
+        outs = boundary_fused_stacked(
+            ctx2, mh2, x2, attn_w["out_proj"], bv["b_fc_out"],
+            bv["ln_g"], bv["ln_b"], l,
+            w_in=None if l == L - 1 else attn_w["in_proj"],
+            fz_attn=fz_attn, attn_src=attn_src,
+            fz_mlp=fz_mlp, mlp_src=mlp_src,
+            u_in=u2, o_bias=bv.get("o_bias"), ln_eps=cfg.ln_eps)
+        if l == L - 1:
+            x2, u2 = outs  # u2 = ln_f(x2), unused (forward re-applies)
+        else:
+            x2, u2, fused = outs
+    x = x2.reshape(b, 1, D).astype(cdt)
+    return x, _write_cache(
+        cache, jnp.stack(k_news), jnp.stack(v_news), cache_index)
+
+
 def _run_blocks_quantized(
     cfg: GPTJConfig,
     blocks: Dict,
@@ -845,7 +958,7 @@ def _run_blocks_quantized(
     }
     small = {
         k: v for k, v in blocks.items()
-        if k not in ("attn", "mlp") and k not in big_ad
+        if k not in ("attn", "mlp", "bvecs") and k not in big_ad
     }
     small["attn"] = {
         k: v for k, v in blocks["attn"].items() if k not in attn_keys
@@ -887,6 +1000,9 @@ def _run_blocks_quantized(
         return x, None
 
     if x.shape[1] == 1 and _should_unroll(cfg, blocks, cache):
+        if _boundary_ok(cfg, blocks, x) and not read_history:
+            return _run_decode_boundary(
+                cfg, blocks, x, sin, cos, cache, cache_index)
         # decode step: unroll with static layer indices (see decode_unroll)
         k_news, v_news = [], []
         for i in range(L):

@@ -931,3 +931,461 @@ def fused_adapter_stacked(x, fz, layer_idx, out_dtype=None):
                           fz["bu"], li, axis=0)
     out = out.reshape(*lead, D)
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+# ---------------------------------------------------------------------------
+# layer-boundary fusion: dual(o+fc_out) + adapters + residual/LN + next
+# layer's in_proj in ONE launch (the int4 decode hot path)
+# ---------------------------------------------------------------------------
+
+
+def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
+                     has_obias, has_uin, has_in, ln_eps):
+    """Body for :func:`boundary_fused_stacked`.  ``refs`` is the flat ref
+    list in the order assembled by the wrapper; ``ad_a``/``ad_m`` are
+    ``None`` or dicts of static phase bounds {t0, nkd, nku, bk, src}.
+
+    Serial-chain economics (scripts/exp_boundary.py, v5e, 6B + v1
+    adapters): every Pallas launch on this platform costs ~25 us of
+    fixed latency on top of its DMA (exp_dma_floor.py: a 34 MB walk
+    floors at 66-72 us vs a 41 us roofline, and the kernel body is free
+    — exp_vpu_cost.py measures mask2dot_aq == touch8 within 2 us).  The
+    int4 decode path paid that three times per layer; fusing the whole
+    inter-attention segment into one phased 1-D grid measured 196.3
+    us/layer vs 256.8 for the 3-launch chain = 1.63 ms/token on the 6B
+    serial decode.
+    """
+    it = iter(refs)
+    idx_ref = next(it)  # noqa: F841  (consumed by the index maps)
+    xlo_ref, xhi_ref, wd_ref, dslo_ref, dshi_ref = (next(it) for _ in range(5))
+    if ad_a is not None:
+        awd, awu, asd, abd, asu, abu = (next(it) for _ in range(6))
+    if ad_m is not None:
+        mwd, mwu, msd, mbd, msu, mbu = (next(it) for _ in range(6))
+    bfo_ref, xres_ref, lng_ref, lnb_ref = (next(it) for _ in range(4))
+    obias_ref = next(it) if has_obias else None
+    uin_ref = next(it) if has_uin else None
+    if has_in:
+        wi_ref, islo_ref, ishi_ref = (next(it) for _ in range(3))
+    y_ref, u_ref = next(it), next(it)
+    fused_ref = next(it) if has_in else None
+    acco_ref, accf_ref, mbuf_ref, abuf_ref, ah_ref, au_ref, acci_ref = (
+        next(it) for _ in range(7))
+
+    t = pl.program_id(0)
+
+    # ---- dual o_proj + fc_out (W4A8, production int4 layout) ----
+    @pl.when(t == 0)
+    def _init():
+        acco_ref[...] = jnp.zeros_like(acco_ref)
+        accf_ref[...] = jnp.zeros_like(accf_ref)
+
+    @pl.when(t < n_dual)
+    def _dual():
+        xlo_q, sxlo = _quantize_act_block(xlo_ref)
+        xhi_q, sxhi = _quantize_act_block(xhi_ref)
+        p32 = wd_ref[0].astype(jnp.int32)
+        lo = ((p32 << 28) >> 28).astype(jnp.int8)
+        hi = (p32 >> 4).astype(jnp.int8)
+        plo = jax.lax.dot(xlo_q, lo, preferred_element_type=jnp.int32)
+        phi = jax.lax.dot(xhi_q, hi, preferred_element_type=jnp.int32)
+        upd = (plo.astype(jnp.float32) * sxlo * dslo_ref[0]
+               + phi.astype(jnp.float32) * sxhi * dshi_ref[0])
+
+        @pl.when(t < nko)
+        def _o():
+            acco_ref[...] += upd
+
+        @pl.when(t >= nko)
+        def _f():
+            accf_ref[...] += upd
+
+    def _branch_a():
+        """a as the unfused path sees it: bf16(dual out) + o_bias."""
+        a = acco_ref[...].astype(jnp.bfloat16)
+        if obias_ref is not None:
+            a = a + obias_ref[0].astype(jnp.bfloat16)
+        return a
+
+    def _adapter_phases(ad, wdr, wur, sdr, bdr, src_buf):
+        """down/relu/up phases for one fused-int8 adapter bottleneck
+        (mirrors _fused_adapter_kernel, phase-offset by ad['t0'])."""
+        t0, nkd, nku, bk = ad["t0"], ad["nkd"], ad["nku"], ad["bk"]
+
+        @pl.when((t >= t0) & (t < t0 + nkd))
+        def _down():
+            j = t - t0
+            xb = src_buf(j, bk)
+            ah_ref[:, : wdr.shape[2]] += jax.lax.dot(
+                xb, wdr[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(t == t0 + nkd)
+        def _relu():
+            dh = wdr.shape[2]
+            ah_ref[:, :dh] = jax.nn.relu(
+                ah_ref[:, :dh] * sdr[0] + bdr[0])
+            au_ref[...] = jnp.zeros_like(au_ref)
+
+        @pl.when((t >= t0 + nkd) & (t < t0 + nkd + nku))
+        def _up():
+            j = t - (t0 + nkd)
+            hs = ah_ref[:, pl.dslice(j * bk, bk)].astype(jnp.bfloat16)
+            au_ref[...] += jax.lax.dot(
+                hs, wur[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+
+    if ad_a is not None:
+        @pl.when(t == ad_a["t0"])
+        def _a_start():
+            abuf_ref[...] = _branch_a()
+            ah_ref[...] = jnp.zeros_like(ah_ref)
+
+        def _a_src(j, bk):
+            buf = uin_ref if ad_a["src"] == "in" else abuf_ref
+            return buf[:, pl.dslice(j * bk, bk)].astype(jnp.bfloat16)
+
+        _adapter_phases(ad_a, awd, awu, asd, abd, _a_src)
+
+    if ad_m is not None:
+        @pl.when(t == ad_m["t0"])
+        def _m_start():
+            if ad_a is not None:
+                # fold the attention adapter's result before reusing au
+                abuf_ref[...] += (au_ref[...] * asu[0]
+                                  + abu[0]).astype(jnp.bfloat16)
+            mbuf_ref[...] = (accf_ref[...] + bfo_ref[0]).astype(jnp.bfloat16)
+            ah_ref[...] = jnp.zeros_like(ah_ref)
+
+        def _m_src(j, bk):
+            buf = uin_ref if ad_m["src"] == "in" else mbuf_ref
+            return buf[:, pl.dslice(j * bk, bk)].astype(jnp.bfloat16)
+
+        _adapter_phases(ad_m, mwd, mwu, msd, mbd, _m_src)
+
+    # ---- residual + next-layer LN epilogue ----
+    @pl.when(t == t_ep)
+    def _epilogue():
+        if ad_a is not None and ad_m is None:
+            abuf_ref[...] += (au_ref[...] * asu[0]
+                              + abu[0]).astype(jnp.bfloat16)
+        a = abuf_ref[...] if ad_a is not None else _branch_a()
+        if ad_m is not None:
+            m2 = mbuf_ref[...] + (au_ref[...] * msu[0]
+                                  + mbu[0]).astype(jnp.bfloat16)
+        else:
+            m2 = (accf_ref[...] + bfo_ref[0]).astype(jnp.bfloat16)
+        y = xres_ref[...] + a + m2
+        y_ref[...] = y
+        y32 = y.astype(jnp.float32)
+        mu = jnp.mean(y32, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(y32 - mu), axis=1, keepdims=True)
+        un = (y32 - mu) * jax.lax.rsqrt(var + ln_eps)
+        u_ref[...] = (un * lng_ref[0] + lnb_ref[0]).astype(jnp.bfloat16)
+
+    # ---- next layer's in_proj (W4A8 on the just-written u) ----
+    if has_in:
+        @pl.when(t >= t_ep)
+        def _inproj():
+            rel = t - t_ep
+            kb = rel % nki
+
+            @pl.when(kb == 0)
+            def _iinit():
+                acci_ref[...] = jnp.zeros_like(acci_ref)
+
+            ulo = u_ref[:, pl.dslice(kb * INT4_GROUP, INT4_GROUP)]
+            uhi = u_ref[:, pl.dslice((nki + kb) * INT4_GROUP, INT4_GROUP)]
+            ulo_q, sulo = _quantize_act_block(ulo)
+            uhi_q, suhi = _quantize_act_block(uhi)
+            p32 = wi_ref[0].astype(jnp.int32)
+            lo = ((p32 << 28) >> 28).astype(jnp.int8)
+            hi = (p32 >> 4).astype(jnp.int8)
+            plo = jax.lax.dot(ulo_q, lo, preferred_element_type=jnp.int32)
+            phi = jax.lax.dot(uhi_q, hi, preferred_element_type=jnp.int32)
+            acci_ref[...] += (
+                plo.astype(jnp.float32) * sulo * islo_ref[0]
+                + phi.astype(jnp.float32) * suhi * ishi_ref[0])
+
+            @pl.when(kb == nki - 1)
+            def _istore():
+                fused_ref[...] = acci_ref[...].astype(jnp.bfloat16)
+
+
+def _boundary_ref(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b, layer_idx, *,
+                  w_in, fz_attn, attn_src, fz_mlp, mlp_src, u_in, o_bias,
+                  ln_eps):
+    """Unfused composition of the boundary segment — the exact op sequence
+    gptj._block runs today (dual + adapters + residual + LN + in_proj).
+    Fallback for non-TPU backends / off-geometry dims, and the numerics
+    oracle for the kernel's tests."""
+    li = layer_idx
+    a, m = dual_matmul_stacked(ctx, mh, w_dual, li, out_dtype=jnp.bfloat16)
+    if o_bias is not None:
+        a = a + jnp.take(o_bias, li, axis=0).reshape(1, -1).astype(
+            jnp.bfloat16)
+    if fz_attn is not None:
+        src = u_in if attn_src == "in" else a
+        a = a + fused_adapter_stacked(src, fz_attn, li,
+                                      out_dtype=jnp.bfloat16)
+    m = m + jnp.take(b_fc_out, li, axis=0).reshape(1, -1).astype(
+        jnp.bfloat16)
+    if fz_mlp is not None:
+        src = u_in if mlp_src == "in" else m
+        m = m + fused_adapter_stacked(src, fz_mlp, li,
+                                      out_dtype=jnp.bfloat16)
+    y = x + a + m
+    y32 = y.astype(jnp.float32)
+    mu = y32.mean(-1, keepdims=True)
+    var = y32.var(-1, keepdims=True)
+    u = ((y32 - mu) * jax.lax.rsqrt(var + ln_eps)
+         * jnp.take(ln_g, li, axis=0).reshape(1, -1)
+         + jnp.take(ln_b, li, axis=0).reshape(1, -1)).astype(jnp.bfloat16)
+    if w_in is None:
+        return y, u
+    nxt = jnp.asarray(li) + 1
+    fused = int4_matmul_stacked(u, w_in["q4"], w_in["s4"], nxt,
+                                out_dtype=jnp.bfloat16)
+    return y, u, fused
+
+
+def _adapter_bk(D: int, DH: int):
+    return next((b for b in (512, 384, 256, 128)
+                 if D % b == 0 and DH % b == 0), None)
+
+
+def boundary_fused_stacked(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b,
+                           layer_idx, *, w_in=None, fz_attn=None,
+                           attn_src="out", fz_mlp=None, mlp_src="out",
+                           u_in=None, o_bias=None, ln_eps=1e-5):
+    """Everything between two decode attentions in ONE Pallas launch:
+
+        a  = ctx @ W_o [+ o_bias] [+ adapter_attn]
+        m  = mh @ W_fc_out + b_fc_out [+ adapter_mlp]
+        y  = x + a + m
+        u  = LN(y; ln_g/ln_b[layer_idx])          (the NEXT layer's ln_1,
+                                                   or ln_f after the last)
+        fused = u @ W_in[layer_idx + 1]           (when ``w_in`` given)
+
+    Inputs are 2-D rows (m <= 8 — the b <= 8 decode regime); weights are
+    the stacked production int4 payloads (``gptj.quantize_lm_params_int4``)
+    and fused-int8 adapter payloads; ``b_fc_out``/``ln_g``/``ln_b``/
+    ``o_bias`` are (L, D) f32 stacks, where ``ln_*[l]`` holds the LN that
+    FOLLOWS layer ``l``.  ``u_in`` is this layer's own LN output (needed
+    as the bottleneck input for parallel/scaled_parallel adapters).
+
+    Returns ``(y, u)`` or ``(y, u, fused)``.  Why one launch: a serial-
+    chain Pallas launch costs ~25 us fixed on top of its DMA (see
+    _boundary_kernel docstring); this replaces 3 launches + the XLA
+    residual/LN glue — measured 196.3 vs 256.8 us/layer on the 6B chain
+    (scripts/exp_boundary.py) = 1.63 ms/token.  Serving-only (no VJP).
+    """
+    m_rows, D = ctx.shape
+    F = mh.shape[1]
+    kpo, kpf = D // 2, F // 2
+    NI = None if w_in is None else w_in["q4"].shape[-1]
+
+    def spec_of(fz, src):
+        if fz is None:
+            return None
+        DH = fz["wd"].shape[2]
+        return {"DH": DH, "bk": _adapter_bk(D, DH), "src": src}
+
+    sa, sm = spec_of(fz_attn, attn_src), spec_of(fz_mlp, mlp_src)
+    geometry_ok = (
+        jax.default_backend() == "tpu"
+        and m_rows <= 8
+        and D % (2 * INT4_GROUP) == 0
+        and F % (2 * INT4_GROUP) == 0
+        and D % 128 == 0
+        and w_dual["q4"].shape[1] == kpo + kpf
+        and all(s is None or (s["bk"] and s["DH"] % 128 == 0)
+                for s in (sa, sm))
+        and (NI is None or (NI % 128 == 0
+                            and (D // 2) % INT4_GROUP == 0))
+        and not any(s is not None and s["src"] == "in" and u_in is None
+                    for s in (sa, sm))
+    )
+    if not geometry_ok:
+        return _boundary_ref(
+            ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b, layer_idx,
+            w_in=w_in, fz_attn=fz_attn, attn_src=attn_src, fz_mlp=fz_mlp,
+            mlp_src=mlp_src, u_in=u_in, o_bias=o_bias, ln_eps=ln_eps)
+
+    if m_rows < 8:
+        pad = ((0, 8 - m_rows), (0, 0))
+        ctx, mh, x = (jnp.pad(t, pad) for t in (ctx, mh, x))
+        if u_in is not None:
+            u_in = jnp.pad(u_in, pad)
+
+    L = w_dual["q4"].shape[0]
+    Gd = w_dual["s4"].shape[1]
+    nko, nkf = kpo // INT4_GROUP, kpf // INT4_GROUP
+    n_dual = nko + nkf
+    t0 = n_dual
+    ad_a = ad_m = None
+    if sa is not None:
+        ad_a = {"t0": t0, "nkd": D // sa["bk"], "nku": sa["DH"] // sa["bk"],
+                "bk": sa["bk"], "src": sa["src"]}
+        t0 += ad_a["nkd"] + ad_a["nku"]
+    if sm is not None:
+        ad_m = {"t0": t0, "nkd": D // sm["bk"], "nku": sm["DH"] // sm["bk"],
+                "bk": sm["bk"], "src": sm["src"]}
+        t0 += ad_m["nkd"] + ad_m["nku"]
+    t_ep = t0
+    if NI is not None:
+        bni = _pick_block(NI, prefer=(14336, 4096, 2048, 1024, 512, 256, 128))
+        nj, nki = NI // bni, (D // 2) // INT4_GROUP
+        T = t_ep + nj * nki
+        Gi = w_in["s4"].shape[1]
+    else:
+        bni, nj, nki, Gi = 128, 1, 0, 0
+        T = t_ep + 1
+
+    xcat = jnp.concatenate(
+        [ctx[:, :kpo], ctx[:, kpo:], mh[:, :kpf], mh[:, kpf:]], axis=1)
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    def xlo_idx(t, ir):
+        tl = jnp.minimum(t, n_dual - 1)
+        return (0, jnp.where(tl < nko, tl, 2 * nko + (tl - nko)))
+
+    def xhi_idx(t, ir):
+        tl = jnp.minimum(t, n_dual - 1)
+        return (0, jnp.where(tl < nko, nko + tl,
+                             2 * nko + nkf + (tl - nko)))
+
+    def wd_idx(t, ir):
+        return (ir[0], jnp.minimum(t, n_dual - 1), 0)
+
+    def dslo_idx(t, ir):
+        tl = jnp.minimum(t, n_dual - 1)
+        return (ir[0] * Gd + jnp.where(tl < nko, tl, tl + nko), 0, 0)
+
+    def dshi_idx(t, ir):
+        tl = jnp.minimum(t, n_dual - 1)
+        return (ir[0] * Gd + jnp.where(tl < nko, tl + nko,
+                                       tl + nko + nkf), 0, 0)
+
+    def vec_idx(t, ir):
+        return (ir[0], 0, 0)
+
+    args = [idx, xcat, xcat, w_dual["q4"],
+            w_dual["s4"].reshape(L * Gd, 1, D),
+            w_dual["s4"].reshape(L * Gd, 1, D)]
+    in_specs = [
+        pl.BlockSpec((8, INT4_GROUP), xlo_idx),
+        pl.BlockSpec((8, INT4_GROUP), xhi_idx),
+        pl.BlockSpec((1, INT4_GROUP, D), wd_idx),
+        pl.BlockSpec((1, 1, D), dslo_idx),
+        pl.BlockSpec((1, 1, D), dshi_idx),
+    ]
+
+    def add_adapter(fz, ad):
+        DH = fz["wd"].shape[2]
+        t0a, nkd, bk = ad["t0"], ad["nkd"], ad["bk"]
+
+        def wd_i(t, ir, t0a=t0a, nkd=nkd):
+            return (ir[0], jnp.clip(t - t0a, 0, nkd - 1), 0)
+
+        def wu_i(t, ir, t0a=t0a, nkd=nkd, nku=ad["nku"]):
+            return (ir[0], jnp.clip(t - (t0a + nkd), 0, nku - 1), 0)
+
+        args.extend([fz["wd"], fz["wu"], fz["sd"], fz["bd"], fz["su"],
+                     fz["bu"]])
+        in_specs.extend([
+            pl.BlockSpec((1, bk, DH), wd_i),
+            pl.BlockSpec((1, bk, D), wu_i),
+            pl.BlockSpec((1, 1, DH), vec_idx),
+            pl.BlockSpec((1, 1, DH), vec_idx),
+            pl.BlockSpec((1, 1, D), vec_idx),
+            pl.BlockSpec((1, 1, D), vec_idx),
+        ])
+
+    if ad_a is not None:
+        add_adapter(fz_attn, ad_a)
+    if ad_m is not None:
+        add_adapter(fz_mlp, ad_m)
+
+    args.extend([b_fc_out.reshape(L, 1, D), x,
+                 ln_g.reshape(L, 1, D), ln_b.reshape(L, 1, D)])
+    in_specs.extend([
+        pl.BlockSpec((1, 1, D), vec_idx),
+        pl.BlockSpec((8, D), lambda t, ir: (0, 0)),
+        pl.BlockSpec((1, 1, D), vec_idx),
+        pl.BlockSpec((1, 1, D), vec_idx),
+    ])
+    if o_bias is not None:
+        args.append(o_bias.reshape(L, 1, D))
+        in_specs.append(pl.BlockSpec((1, 1, D), vec_idx))
+    if u_in is not None:
+        args.append(u_in)
+        in_specs.append(pl.BlockSpec((8, D), lambda t, ir: (0, 0)))
+    if NI is not None:
+        def wi_idx(t, ir):
+            rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
+            return (ir[0] + 1, rel % nki, rel // nki)
+
+        def islo_idx(t, ir):
+            rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
+            return ((ir[0] + 1) * Gi + rel % nki, 0, rel // nki)
+
+        def ishi_idx(t, ir):
+            rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
+            return ((ir[0] + 1) * Gi + nki + rel % nki, 0, rel // nki)
+
+        args.extend([w_in["q4"],
+                     w_in["s4"].reshape(-1, 1, NI),
+                     w_in["s4"].reshape(-1, 1, NI)])
+        in_specs.extend([
+            pl.BlockSpec((1, INT4_GROUP, bni), wi_idx),
+            pl.BlockSpec((1, 1, bni), islo_idx),
+            pl.BlockSpec((1, 1, bni), ishi_idx),
+        ])
+
+    out_shape = [jax.ShapeDtypeStruct((8, D), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((8, D), jnp.bfloat16)]
+    out_specs = [pl.BlockSpec((8, D), lambda t, ir: (0, 0)),
+                 pl.BlockSpec((8, D), lambda t, ir: (0, 0))]
+    if NI is not None:
+        out_shape.append(jax.ShapeDtypeStruct((8, NI), jnp.bfloat16))
+        out_specs.append(pl.BlockSpec(
+            (8, bni),
+            lambda t, ir: (0, jnp.clip(t - t_ep, 0, nj * nki - 1) // nki)))
+
+    dh_max = max([1] + [s["DH"] for s in (sa, sm) if s is not None])
+    scratch = [
+        pltpu.VMEM((8, D), jnp.float32),       # acco
+        pltpu.VMEM((8, D), jnp.float32),       # accf
+        pltpu.VMEM((8, D), jnp.bfloat16),      # mbuf
+        pltpu.VMEM((8, D), jnp.bfloat16),      # abuf
+        pltpu.VMEM((8, dh_max), jnp.float32),  # ah
+        pltpu.VMEM((8, D), jnp.float32),       # au
+        pltpu.VMEM((8, bni), jnp.float32),     # acci
+    ]
+
+    kernel = functools.partial(
+        _boundary_kernel, nko=nko, n_dual=n_dual, ad_a=ad_a, ad_m=ad_m,
+        t_ep=t_ep, nki=nki, nj=nj, has_obias=o_bias is not None,
+        has_uin=u_in is not None, has_in=NI is not None, ln_eps=ln_eps)
+
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*args)
+    if NI is None:
+        y, u = outs
+        return y[:m_rows], u[:m_rows]
+    y, u, fused = outs
+    return y[:m_rows], u[:m_rows], fused[:m_rows]

@@ -413,3 +413,42 @@ def test_training_layout_grads_flow():
     gn = sum(float(jnp.sum(jnp.abs(l.astype(jnp.float32))))
              for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_boundary_decode_path_matches_unrolled():
+    """The single-launch boundary decode restructuring
+    (gptj._run_decode_boundary + ops/quant.boundary_fused_stacked) must
+    reproduce the per-layer unrolled path exactly on the CPU fallback —
+    same ops, same rounding — across adapter variants and o_bias."""
+    from magma_tpu.models.adapters import AdapterSpec
+
+    cfg = gptj.GPTJConfig.tiny(
+        mlp_adapter=AdapterSpec("normal", 4),
+        attn_adapter=AdapterSpec("scaled_parallel", 8),
+        vocab_size=256, decode_unroll=True)
+    params = gptj.init_params(jax.random.PRNGKey(0), cfg)
+    # non-trivial adapters so the adapter phases actually matter
+    for n in ("adapter_mlp", "adapter_attn"):
+        params["blocks"][n] = jax.tree_util.tree_map(
+            lambda t: t * 50.0, params["blocks"][n])
+    params["blocks"]["adapter_attn"]["scale"] = (
+        params["blocks"]["adapter_attn"]["scale"] * 0 + 2.5)
+    qp = gptj.quantize_lm_params_int4(params)
+    assert "bvecs" in qp["blocks"]
+
+    b, s_prompt = 2, 5
+    cache = gptj.init_kv_cache(cfg, b, 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 1, cfg.d_model),
+                          jnp.bfloat16) * 0.1
+
+    def step(p):
+        logits, _ = gptj.forward(
+            cfg, p, x, cache=cache, cache_index=jnp.int32(s_prompt))
+        return logits
+
+    logits_boundary = np.asarray(step(qp), np.float32)
+    bv = qp["blocks"].pop("bvecs")
+    logits_unrolled = np.asarray(step(qp), np.float32)
+    qp["blocks"]["bvecs"] = bv
+    np.testing.assert_allclose(logits_boundary, logits_unrolled,
+                               rtol=0, atol=1e-5)
