@@ -481,6 +481,21 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     if "o_bias" in attn:
         bvecs["o_bias"] = f32(attn["o_bias"])
     blocks["bvecs"] = bvecs
+    # step-major packed scales: one constant-index block per launch
+    # instead of two 16 KB rows per grid step (quant._pack_boundary_scales)
+    from magma_tpu.ops.quant import _pack_boundary_scales
+
+    D = 2 * attn["in_proj"]["q4"].shape[1]
+    F = 2 * attn["out_proj"]["q4"].shape[1] - D
+    from magma_tpu.ops.quant import INT4_GROUP
+    if (D % (2 * INT4_GROUP) == 0 and F % (2 * INT4_GROUP) == 0
+            and attn["out_proj"]["s4"].shape[1] == (D + F) // INT4_GROUP
+            and attn["in_proj"]["s4"].shape[1] == D // INT4_GROUP):
+        dsd, dsi = jax.jit(
+            lambda wd, wi: _pack_boundary_scales(wd, wi, D, F)
+        )(attn["out_proj"], attn["in_proj"])
+        attn["out_proj"]["dsb"] = dsd
+        attn["in_proj"]["dsb"] = dsi
     return _serving_cast_adapters(params, mode="fused_int8")
 
 

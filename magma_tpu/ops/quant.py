@@ -954,10 +954,18 @@ def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
     inter-attention segment into one phased 1-D grid measured 196.3
     us/layer vs 256.8 for the 3-launch chain = 1.63 ms/token on the 6B
     serial decode.
+
+    Small-DMA elimination: the first version fetched two (8, 256)
+    activation blocks and two 16 KB scale rows per grid step — ~160
+    sub-32KB DMAs per launch that held the kernel at 169 us/layer vs a
+    136 us roofline.  Now the whole activation row block and the
+    step-major packed scales (``_pack_boundary_scales``) load ONCE per
+    launch as constant-index blocks and are sliced in VMEM by the grid
+    step, so the only per-step DMA is the weight stream itself.
     """
     it = iter(refs)
     idx_ref = next(it)  # noqa: F841  (consumed by the index maps)
-    xlo_ref, xhi_ref, wd_ref, dslo_ref, dshi_ref = (next(it) for _ in range(5))
+    xcat_ref, wd_ref, dsd_ref = (next(it) for _ in range(3))
     if ad_a is not None:
         awd, awu, asd, abd, asu, abu = (next(it) for _ in range(6))
     if ad_m is not None:
@@ -966,13 +974,14 @@ def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
     obias_ref = next(it) if has_obias else None
     uin_ref = next(it) if has_uin else None
     if has_in:
-        wi_ref, islo_ref, ishi_ref = (next(it) for _ in range(3))
+        wi_ref, dsi_ref = (next(it) for _ in range(2))
     y_ref, u_ref = next(it), next(it)
     fused_ref = next(it) if has_in else None
     acco_ref, accf_ref, mbuf_ref, abuf_ref, ah_ref, au_ref, acci_ref = (
         next(it) for _ in range(7))
 
     t = pl.program_id(0)
+    nkf = n_dual - nko
 
     # ---- dual o_proj + fc_out (W4A8, production int4 layout) ----
     @pl.when(t == 0)
@@ -982,15 +991,22 @@ def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
 
     @pl.when(t < n_dual)
     def _dual():
-        xlo_q, sxlo = _quantize_act_block(xlo_ref)
-        xhi_q, sxhi = _quantize_act_block(xhi_ref)
+        # activation column blocks for this step's lo/hi nibbles, sliced
+        # from the resident xcat block ([ctx_lo|ctx_hi|mh_lo|mh_hi])
+        b_lo = jnp.where(t < nko, t, 2 * nko + (t - nko))
+        b_hi = jnp.where(t < nko, nko + t, 2 * nko + nkf + (t - nko))
+        xlo = xcat_ref[:, pl.dslice(b_lo * INT4_GROUP, INT4_GROUP)]
+        xhi = xcat_ref[:, pl.dslice(b_hi * INT4_GROUP, INT4_GROUP)]
+        xlo_q, sxlo = _quantize_act_block(xlo)
+        xhi_q, sxhi = _quantize_act_block(xhi)
         p32 = wd_ref[0].astype(jnp.int32)
         lo = ((p32 << 28) >> 28).astype(jnp.int8)
         hi = (p32 >> 4).astype(jnp.int8)
         plo = jax.lax.dot(xlo_q, lo, preferred_element_type=jnp.int32)
         phi = jax.lax.dot(xhi_q, hi, preferred_element_type=jnp.int32)
-        upd = (plo.astype(jnp.float32) * sxlo * dslo_ref[0]
-               + phi.astype(jnp.float32) * sxhi * dshi_ref[0])
+        pair = dsd_ref[0, t]           # (2, bn): step-major packed scales
+        upd = (plo.astype(jnp.float32) * sxlo * pair[0:1]
+               + phi.astype(jnp.float32) * sxhi * pair[1:2])
 
         @pl.when(t < nko)
         def _o():
@@ -1103,9 +1119,10 @@ def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
             hi = (p32 >> 4).astype(jnp.int8)
             plo = jax.lax.dot(ulo_q, lo, preferred_element_type=jnp.int32)
             phi = jax.lax.dot(uhi_q, hi, preferred_element_type=jnp.int32)
+            pair = dsi_ref[0, 0, kb]   # (2, bni) packed in_proj scales
             acci_ref[...] += (
-                plo.astype(jnp.float32) * sulo * islo_ref[0]
-                + phi.astype(jnp.float32) * suhi * ishi_ref[0])
+                plo.astype(jnp.float32) * sulo * pair[0:1]
+                + phi.astype(jnp.float32) * suhi * pair[1:2])
 
             @pl.when(kb == nki - 1)
             def _istore():
@@ -1154,6 +1171,45 @@ def _adapter_bk(D: int, DH: int):
                  if D % b == 0 and DH % b == 0), None)
 
 
+def _boundary_inproj_block(NI: int) -> int:
+    return _pick_block(NI, prefer=(14336, 4096, 2048, 1024, 512, 256, 128))
+
+
+def _pack_boundary_scales(w_dual, w_in, D: int, F: int):
+    """Step-major scale tensors for the boundary kernel, so each launch
+    fetches ONE constant-index scale block instead of two 16 KB rows per
+    grid step (the sub-32KB DMAs dominated the kernel's gap to its DMA
+    roofline — see _boundary_kernel).
+
+    Returns (dsd, dsi):
+      dsd (L, n_dual, 2, D) f32 — dual-phase step t reads [t, 0]=lo-nibble
+        group scales, [t, 1]=hi (row order mirrors _int4_dual_2d's maps).
+      dsi (L, nj, nki, 2, bni) f32 or None — in_proj phase (j, kb) reads
+        [j, kb, 0/1].
+    ``quantize_lm_params_int4`` stores these in the payloads ("dsb");
+    the wrapper rebuilds on the fly when absent (hoisted per invocation).
+    """
+    s4 = w_dual["s4"]
+    L = s4.shape[0]
+    nko, nkf = (D // 2) // INT4_GROUP, (F // 2) // INT4_GROUP
+    t = jnp.arange(nko + nkf)
+    rows_lo = jnp.where(t < nko, t, t + nko)
+    rows_hi = jnp.where(t < nko, t + nko, t + nko + nkf)
+    dsd = jnp.stack(
+        [jnp.take(s4, rows_lo, axis=1), jnp.take(s4, rows_hi, axis=1)],
+        axis=2)
+    dsi = None
+    if w_in is not None:
+        si = w_in["s4"]
+        NI = si.shape[-1]
+        bni = _boundary_inproj_block(NI)
+        nj, nki = NI // bni, (D // 2) // INT4_GROUP
+        # (L, 2*nki, NI): rows [0, nki) scale lo nibbles, [nki, 2*nki) hi
+        dsi = jnp.stack([si[:, :nki], si[:, nki:2 * nki]], axis=2)
+        dsi = dsi.reshape(L, nki, 2, nj, bni).transpose(0, 3, 1, 2, 4)
+    return dsd, dsi
+
+
 def boundary_fused_stacked(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b,
                            layer_idx, *, w_in=None, fz_attn=None,
                            attn_src="out", fz_mlp=None, mlp_src="out",
@@ -1199,10 +1255,12 @@ def boundary_fused_stacked(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b,
         and F % (2 * INT4_GROUP) == 0
         and D % 128 == 0
         and w_dual["q4"].shape[1] == kpo + kpf
+        and w_dual["s4"].shape[1] == (D + F) // INT4_GROUP
         and all(s is None or (s["bk"] and s["DH"] % 128 == 0)
                 for s in (sa, sm))
         and (NI is None or (NI % 128 == 0
-                            and (D // 2) % INT4_GROUP == 0))
+                            and (D // 2) % INT4_GROUP == 0
+                            and w_in["s4"].shape[1] == D // INT4_GROUP))
         and not any(s is not None and s["src"] == "in" and u_in is None
                     for s in (sa, sm))
     )
@@ -1234,51 +1292,39 @@ def boundary_fused_stacked(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b,
         t0 += ad_m["nkd"] + ad_m["nku"]
     t_ep = t0
     if NI is not None:
-        bni = _pick_block(NI, prefer=(14336, 4096, 2048, 1024, 512, 256, 128))
+        bni = _boundary_inproj_block(NI)
         nj, nki = NI // bni, (D // 2) // INT4_GROUP
         T = t_ep + nj * nki
-        Gi = w_in["s4"].shape[1]
     else:
-        bni, nj, nki, Gi = 128, 1, 0, 0
+        bni, nj, nki = 128, 1, 0
         T = t_ep + 1
 
     xcat = jnp.concatenate(
         [ctx[:, :kpo], ctx[:, kpo:], mh[:, :kpf], mh[:, kpf:]], axis=1)
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
-    def xlo_idx(t, ir):
-        tl = jnp.minimum(t, n_dual - 1)
-        return (0, jnp.where(tl < nko, tl, 2 * nko + (tl - nko)))
-
-    def xhi_idx(t, ir):
-        tl = jnp.minimum(t, n_dual - 1)
-        return (0, jnp.where(tl < nko, nko + tl,
-                             2 * nko + nkf + (tl - nko)))
+    # step-major packed scales: stored by quantize_lm_params_int4 ("dsb");
+    # rebuilt on the fly (and hoisted out of decode loops) when absent
+    dsd = w_dual.get("dsb")
+    dsi = None if w_in is None else w_in.get("dsb")
+    if dsd is None or (NI is not None and dsi is None):
+        dsd_new, dsi_new = _pack_boundary_scales(w_dual, w_in, D, F)
+        dsd = dsd if dsd is not None else dsd_new
+        dsi = dsi if dsi is not None else dsi_new
+    if dsi is not None and dsi.shape[-1] != bni:
+        _, dsi = _pack_boundary_scales(w_dual, w_in, D, F)
 
     def wd_idx(t, ir):
         return (ir[0], jnp.minimum(t, n_dual - 1), 0)
 
-    def dslo_idx(t, ir):
-        tl = jnp.minimum(t, n_dual - 1)
-        return (ir[0] * Gd + jnp.where(tl < nko, tl, tl + nko), 0, 0)
-
-    def dshi_idx(t, ir):
-        tl = jnp.minimum(t, n_dual - 1)
-        return (ir[0] * Gd + jnp.where(tl < nko, tl + nko,
-                                       tl + nko + nkf), 0, 0)
-
     def vec_idx(t, ir):
         return (ir[0], 0, 0)
 
-    args = [idx, xcat, xcat, w_dual["q4"],
-            w_dual["s4"].reshape(L * Gd, 1, D),
-            w_dual["s4"].reshape(L * Gd, 1, D)]
+    args = [idx, xcat, w_dual["q4"], dsd]
     in_specs = [
-        pl.BlockSpec((8, INT4_GROUP), xlo_idx),
-        pl.BlockSpec((8, INT4_GROUP), xhi_idx),
+        pl.BlockSpec((8, xcat.shape[1]), lambda t, ir: (0, 0)),
         pl.BlockSpec((1, INT4_GROUP, D), wd_idx),
-        pl.BlockSpec((1, 1, D), dslo_idx),
-        pl.BlockSpec((1, 1, D), dshi_idx),
+        pl.BlockSpec((1, n_dual, 2, D), lambda t, ir: (ir[0], 0, 0, 0)),
     ]
 
     def add_adapter(fz, ad):
@@ -1326,21 +1372,14 @@ def boundary_fused_stacked(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b,
             rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
             return (ir[0] + 1, rel % nki, rel // nki)
 
-        def islo_idx(t, ir):
+        def dsi_idx(t, ir):
             rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
-            return ((ir[0] + 1) * Gi + rel % nki, 0, rel // nki)
+            return (ir[0] + 1, rel // nki, 0, 0, 0)
 
-        def ishi_idx(t, ir):
-            rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
-            return ((ir[0] + 1) * Gi + nki + rel % nki, 0, rel // nki)
-
-        args.extend([w_in["q4"],
-                     w_in["s4"].reshape(-1, 1, NI),
-                     w_in["s4"].reshape(-1, 1, NI)])
+        args.extend([w_in["q4"], dsi])
         in_specs.extend([
             pl.BlockSpec((1, INT4_GROUP, bni), wi_idx),
-            pl.BlockSpec((1, 1, bni), islo_idx),
-            pl.BlockSpec((1, 1, bni), ishi_idx),
+            pl.BlockSpec((1, 1, nki, 2, bni), dsi_idx),
         ])
 
     out_shape = [jax.ShapeDtypeStruct((8, D), jnp.bfloat16),
