@@ -307,7 +307,13 @@ def main():
     caps = __import__("numpy").full((1, seq), 50256, "int32")
     caps[:, : seq // 2] = rng_np.randint(0, 50000, (1, seq // 2))
     t_caps = jnp.asarray(caps)
-    loss = trainer.train_step(t_images, t_caps)  # compile
+    # two warm steps before timing: the first call compiles, and the
+    # SECOND triggers one more compile (donated outputs come back with
+    # different layouts than the freshly-initialized state, ~16 s once);
+    # steady state starts at step 3 (scripts/profile_train_6b.py: 28.5 /
+    # 16.5 / 0.159 s for warm steps 0/1/2)
+    trainer.train_step(t_images, t_caps)
+    trainer.train_step(t_images, t_caps)
     t0 = time.time()
     n_steps = 6
     for _ in range(n_steps - 1):

@@ -79,9 +79,15 @@ def main():
           flush=True)
     assert np.isfinite(loss), loss
 
+    # the SECOND step triggers one more ~16 s compile (donated outputs
+    # return with different layouts than the fresh state); warm it out of
+    # the timed window (scripts/profile_train_6b.py warm-step timings)
+    loss2 = trainer.train_step(images, captions)
+    print(f"step 2 (recompile+run): warm", flush=True)
+
     # async stepping: sync only at the end — per-step loss fetches stall
     # the device for ~40 ms each on the tunneled transport
-    losses = [loss]
+    losses = [loss, loss2]
     lazy = loss
     t0 = time.time()
     for i in range(steps - 1):
