@@ -1070,7 +1070,10 @@ def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
                 # fold the attention adapter's result before reusing au
                 abuf_ref[...] += (au_ref[...] * asu[0]
                                   + abu[0]).astype(jnp.bfloat16)
-            mbuf_ref[...] = (accf_ref[...] + bfo_ref[0]).astype(jnp.bfloat16)
+            # bf16(acc) + bf16(bias), matching _boundary_ref's rounding
+            # bit-for-bit (ADVICE r4: f32-add-then-cast was 1 ulp off)
+            mbuf_ref[...] = (accf_ref[...].astype(jnp.bfloat16)
+                             + bfo_ref[0].astype(jnp.bfloat16))
             ah_ref[...] = jnp.zeros_like(ah_ref)
 
         def _m_src(j, bk):
@@ -1090,7 +1093,8 @@ def _boundary_kernel(refs, *, nko, n_dual, ad_a, ad_m, t_ep, nki, nj,
             m2 = mbuf_ref[...] + (au_ref[...] * msu[0]
                                   + mbu[0]).astype(jnp.bfloat16)
         else:
-            m2 = (accf_ref[...] + bfo_ref[0]).astype(jnp.bfloat16)
+            m2 = (accf_ref[...].astype(jnp.bfloat16)
+                  + bfo_ref[0].astype(jnp.bfloat16))
         y = xres_ref[...] + a + m2
         y_ref[...] = y
         y32 = y.astype(jnp.float32)
@@ -1240,6 +1244,19 @@ def boundary_fused_stacked(ctx, mh, x, w_dual, b_fc_out, ln_g, ln_b,
     F = mh.shape[1]
     kpo, kpf = D // 2, F // 2
     NI = None if w_in is None else w_in["q4"].shape[-1]
+    if w_in is not None:
+        # The in_proj phase reads layer ``layer_idx + 1`` of w_in: a last-
+        # layer call with w_in set would address block row L of an (L, ...)
+        # array (clamped/garbage reads, silently wrong results).  Callers
+        # must pass w_in=None on the last layer (_run_decode_boundary
+        # does).  Guard statically when the index is concrete; traced
+        # indices keep the documented precondition.
+        if isinstance(layer_idx, (int,)) and layer_idx >= w_in["q4"].shape[0] - 1:
+            raise ValueError(
+                f"boundary_fused_stacked: layer_idx={layer_idx} with w_in "
+                f"set would read layer {layer_idx + 1} of an "
+                f"{w_in['q4'].shape[0]}-layer stack; pass w_in=None on the "
+                "last layer")
 
     def spec_of(fz, src):
         if fz is None:
