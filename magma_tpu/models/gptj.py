@@ -314,7 +314,31 @@ def _serving_cast_adapters(params: Dict, mode: str = "bf16") -> Dict:
     return params
 
 
-def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
+def _attach_bvecs(params: Dict) -> None:
+    """f32 vector stacks for the fused decode kernels (boundary /
+    whole-layer): row l of ln_g/ln_b is the LN that FOLLOWS layer l —
+    ln_1[l+1] for mid layers, ln_f after the last."""
+    blocks = params["blocks"]
+
+    def f32(t):
+        return t.astype(jnp.float32)
+
+    bvecs = {
+        "b_fc_out": f32(blocks["mlp"]["fc_out"]["bias"]),
+        "ln_g": jnp.concatenate(
+            [f32(blocks["ln_1"]["scale"][1:]),
+             f32(params["ln_f"]["scale"])[None]], axis=0),
+        "ln_b": jnp.concatenate(
+            [f32(blocks["ln_1"]["bias"][1:]),
+             f32(params["ln_f"]["bias"])[None]], axis=0),
+    }
+    if "o_bias" in blocks["attn"]:
+        bvecs["o_bias"] = f32(blocks["attn"]["o_bias"])
+    blocks["bvecs"] = bvecs
+
+
+def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True,
+                       fuse_in_proj: bool = True) -> Dict:
     """Weight-only int8 quantization of the serving-critical matrices:
     attention q/k/v/o, MLP fc_in/fc_out, and the output head (derived from
     the tied wte).  Layernorms and the embedding table stay in their
@@ -333,6 +357,19 @@ def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
     QLoRA training (adapters against a frozen int8 LM, config
     ``train_lm_int8``) must pass ``fuse_out_proj=False`` to keep the
     separate, activation-differentiable o/fc_out matmuls.
+
+    ``fuse_in_proj=False`` additionally keeps q/k/v/fc_in as separate
+    stacked int8 arrays — the **tensor-parallel serving layout** (r5):
+    every tensor then takes a clean Megatron PartitionSpec
+    (parallel/sharding.py — q/k/v/fc_in column-sharded head-aligned,
+    o/fc_out row-sharded), so a tp engine runs with zero GSPMD
+    resharding of the quantized weights.  The fused [q|k|v|fc_in]
+    concat column-shards at an arbitrary boundary (device 0 would own
+    ALL heads' q/k/v and device 1 the fc_in tail), forcing an
+    all-to-all every layer.  Fusion is a single-chip serial-chain
+    optimization; under tp each chip streams only its own shard, so
+    the launch-count economics behind fusion do not apply.  Implies
+    ``fuse_out_proj=False`` behavior for the dual stream.
     """
     from magma_tpu.ops.quant import quantize_int8
 
@@ -351,6 +388,17 @@ def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
         mlp_p[k]["kernel"] = unwrap(mlp_p[k]["kernel"])
 
     attn = params["blocks"]["attn"]
+    if not fuse_in_proj:
+        # tensor-parallel layout: every projection stays its own tensor
+        # with a clean Megatron spec; no fused streams at all
+        for k2 in ("q", "k", "v", "o"):
+            attn[k2] = jax.jit(q_stacked)(attn[k2])
+        for k2 in ("fc_in", "fc_out"):
+            mlp_p[k2]["kernel"] = jax.jit(q_stacked)(mlp_p[k2]["kernel"])
+        params["lm_head_q"] = jax.jit(
+            lambda w: quantize_int8(w.astype(jnp.float32).T)
+        )(params["wte"])
+        return _serving_cast_adapters(params, mode="bf16")
     # fuse q/k/v/fc_in into one (L, D, 3D + F) "in_proj" matrix: all four
     # consume the same LN output u (GPT-J parallel block), so they become
     # ONE kernel launch and one larger HBM stream per layer instead of
@@ -393,6 +441,11 @@ def quantize_lm_params(params: Dict, *, fuse_out_proj: bool = True) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
+    if fuse_out_proj:
+        # vector stacks for the whole-layer fused decode kernel (r5:
+        # the int8 serving default gets the same single-launch decode
+        # structure as int4 — ops/decode_layer.py)
+        _attach_bvecs(params)
     # fuse_out_proj doubles as the training/serving switch: QLoRA training
     # needs differentiable (bf16) adapters; serving takes the fused-int8
     # single-launch layout
@@ -461,26 +514,7 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
     params["lm_head_q"] = jax.jit(
         lambda w: quantize_int8(w.astype(jnp.float32).T)
     )(params["wte"])
-    # f32 vector stacks for the single-launch boundary kernel
-    # (ops/quant.boundary_fused_stacked): row l of ln_g/ln_b is the LN
-    # that FOLLOWS layer l — ln_1[l+1] for mid layers, ln_f after the last
-    blocks = params["blocks"]
-
-    def f32(t):
-        return t.astype(jnp.float32)
-
-    bvecs = {
-        "b_fc_out": f32(mlp["fc_out"]["bias"]),
-        "ln_g": jnp.concatenate(
-            [f32(blocks["ln_1"]["scale"][1:]),
-             f32(params["ln_f"]["scale"])[None]], axis=0),
-        "ln_b": jnp.concatenate(
-            [f32(blocks["ln_1"]["bias"][1:]),
-             f32(params["ln_f"]["bias"])[None]], axis=0),
-    }
-    if "o_bias" in attn:
-        bvecs["o_bias"] = f32(attn["o_bias"])
-    blocks["bvecs"] = bvecs
+    _attach_bvecs(params)
     # step-major packed scales: one constant-index block per launch
     # instead of two 16 KB rows per grid step (quant._pack_boundary_scales)
     from magma_tpu.ops.quant import _pack_boundary_scales
@@ -496,6 +530,16 @@ def quantize_lm_params_int4(params: Dict) -> Dict:
         )(attn["out_proj"], attn["in_proj"])
         attn["out_proj"]["dsb"] = dsd
         attn["in_proj"]["dsb"] = dsi
+        # second step-major packing at the whole-layer decode kernel's
+        # narrower in_proj block (ops/decode_layer.py)
+        from magma_tpu.ops.decode_layer import (_declayer_inproj_block,
+                                                _pack_inproj_scales)
+
+        NI = attn["in_proj"]["q4"].shape[-1]
+        attn["in_proj"]["dsb2"] = jax.jit(
+            lambda wi: _pack_inproj_scales(
+                wi, D, _declayer_inproj_block(NI))
+        )(attn["in_proj"])
     return _serving_cast_adapters(params, mode="fused_int8")
 
 
@@ -796,6 +840,7 @@ def _run_blocks(
     remat: bool = False,
     read_history: bool = False,
     mesh=None,
+    positions: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Scan the layer-stacked blocks.  Returns (hidden, updated_cache)."""
 
@@ -805,7 +850,7 @@ def _run_blocks(
         return _run_blocks_quantized(
             cfg, blocks, x, sin, cos, kv_len=kv_len, cache=cache,
             cache_index=cache_index, remat=remat,
-            read_history=read_history,
+            read_history=read_history, positions=positions,
         )
 
     if cache is None:
@@ -863,11 +908,108 @@ def _boundary_ok(cfg: GPTJConfig, blocks: Dict, x: jnp.ndarray) -> bool:
         w = attn.get(k)
         if not (isinstance(w, dict) and "q4" in w):
             return False
+    return _adapters_fused(cfg, blocks)
+
+
+def _adapters_fused(cfg: GPTJConfig, blocks: Dict) -> bool:
     for name, spec in (("adapter_mlp", cfg.mlp_adapter),
                        ("adapter_attn", cfg.attn_adapter)):
         if spec is not None and "fused" not in blocks.get(name, {}):
             return False
     return True
+
+
+def _declayer_ok(cfg: GPTJConfig, blocks: Dict, x: jnp.ndarray,
+                 cache: Dict) -> bool:
+    """Gate for the whole-layer fused decode path (attention INSIDE the
+    per-layer launch — ops/decode_layer.py).  b=1 s=1 only; needs the
+    fused serving layouts (int4 or int8) + bvecs + fused adapters and
+    the 6B head geometry (head_dim == 256)."""
+    if x.shape[0] != 1 or x.shape[1] != 1:
+        return False
+    if "bvecs" not in blocks or not _adapters_fused(cfg, blocks):
+        return False
+    attn = blocks["attn"]
+    if "in_proj" not in attn or "out_proj" not in attn:
+        return False
+    from magma_tpu.ops.decode_layer import declayer_supported
+
+    return declayer_supported(
+        b=1, s=1, n_heads=cfg.n_heads, head_dim=cfg.head_dim,
+        d_ff=cfg.d_ff, max_len=cache["k"].shape[2],
+        w_in_proj=attn["in_proj"], w_out_proj=attn["out_proj"],
+        has_bvecs=True)
+
+
+def _run_decode_fused_layers(
+    cfg: GPTJConfig,
+    blocks: Dict,
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: Dict,
+    cache_index: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict]:
+    """b=1 s=1 decode where each layer is ONE Pallas launch covering
+    rotary + cache attention + gelu + dual(o,fc_out) + adapters +
+    residual + next LN + next in_proj (ops/decode_layer.py).  The
+    28-layer step becomes 28 back-to-back launches with no XLA glue —
+    the round-5 lever on the ~0.35 ms/tok glue + ~0.8 ms/tok gap the
+    round-4 study measured (docs/SERVING.md)."""
+    from magma_tpu.ops.decode_layer import decode_layer_fused, rotary_matrix
+
+    L, D = cfg.n_layers, cfg.d_model
+    cdt = cfg.compute_dtype
+    scale = (1.0 / cfg.head_dim ** 0.5) if cfg.scale_attn else 1.0
+    attn_w = blocks["attn"]
+    bv = blocks["bvecs"]
+    fc_in_b = blocks["mlp"]["fc_in"]["bias"].astype(jnp.float32)
+
+    def adapter_of(name, spec):
+        if spec is None:
+            return None, "out"
+        src = "out" if spec.adapter_type == "normal" else "in"
+        return blocks[name]["fused"], src
+
+    fz_mlp, mlp_src = adapter_of("adapter_mlp", cfg.mlp_adapter)
+    fz_attn, attn_src = adapter_of("adapter_attn", cfg.attn_adapter)
+
+    pos_scalar = jnp.asarray(positions, jnp.int32).reshape(-1)[0]
+    rotmat = rotary_matrix(pos_scalar[None], cfg.rotary_dim, cfg.head_dim)
+    idx = jnp.asarray(cache_index, jnp.int32).reshape(-1)[0]
+    kvs = None
+    if "k_scale" in cache:
+        # position-major scale views, transposed ONCE for all layers
+        kvs = (jnp.swapaxes(cache["k_scale"], -1, -2),
+               jnp.swapaxes(cache["v_scale"], -1, -2))
+
+    x2 = x.reshape(1, D)
+    u2 = _layer_norm(
+        x2, {"scale": blocks["ln_1"]["scale"][0],
+             "bias": blocks["ln_1"]["bias"][0]}, cfg.ln_eps, cdt)
+    fused = _mm(u2, {**attn_w["in_proj"], "idx": 0}, cdt)
+    k_news, v_news = [], []
+    for l in range(L):
+        outs = decode_layer_fused(
+            fused, x2, rotmat, cache["k"], cache["v"], kvs, idx,
+            attn_w["out_proj"], fc_in_b, bv["b_fc_out"],
+            bv["ln_g"], bv["ln_b"], l, n_heads=cfg.n_heads,
+            w_in=None if l == L - 1 else attn_w["in_proj"],
+            fz_attn=fz_attn, attn_src=attn_src,
+            fz_mlp=fz_mlp, mlp_src=mlp_src,
+            u_in=u2, o_bias=bv.get("o_bias"), scale=scale,
+            ln_eps=cfg.ln_eps)
+        if l == L - 1:
+            x2, u2, kn, vn = outs       # u2 = ln_f(x2) (forward re-applies)
+        else:
+            x2, u2, fused, kn, vn = outs
+        k_news.append(kn)
+        v_news.append(vn)
+    x = x2.reshape(1, 1, D).astype(cdt)
+    # flat (L, 1, D) rows -> (L, b=1, s=1, h, hd) for the bulk cache write
+    h, hd = cfg.n_heads, cfg.head_dim
+    k_new = jnp.stack(k_news).reshape(L, 1, 1, h, hd).astype(cdt)
+    v_new = jnp.stack(v_news).reshape(L, 1, 1, h, hd).astype(cdt)
+    return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
 def _run_decode_boundary(
@@ -953,6 +1095,7 @@ def _run_blocks_quantized(
     cache_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
     read_history: bool = False,
+    positions: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Block scan for int8-quantized weights.  The big stacked int8 arrays
     stay *outside* the scan (closure constants); the body passes the layer
@@ -1024,6 +1167,18 @@ def _run_blocks_quantized(
             body = jax.checkpoint(body, prevent_cse=False)
         x, _ = jax.lax.scan(body, x, (small, jnp.arange(L)))
         return x, None
+
+    if (x.shape[1] == 1 and not read_history
+            and jax.default_backend() == "tpu"
+            and _declayer_ok(cfg, blocks, x, cache)):
+        # whole-layer fusion (attention inside the launch) — takes
+        # precedence over the boundary path AND the unroll heuristic
+        # (it IS an unrolled path, and its attention phases ride the
+        # cache stream, so it wins at long context too)
+        if positions is None:
+            positions = jnp.asarray(cache_index)
+        return _run_decode_fused_layers(
+            cfg, blocks, x, positions, cache, cache_index)
 
     if x.shape[1] == 1 and _should_unroll(cfg, blocks, cache):
         if _boundary_ok(cfg, blocks, x) and not read_history:
@@ -1097,7 +1252,7 @@ def forward(
     x, new_cache = _run_blocks(
         cfg, params["blocks"], x, sin, cos,
         kv_len=kv_len, cache=cache, cache_index=cache_index, remat=remat,
-        read_history=read_history, mesh=mesh,
+        read_history=read_history, mesh=mesh, positions=positions,
     )
 
     x = _layer_norm(x, params["ln_f"], cfg.ln_eps, cdt)

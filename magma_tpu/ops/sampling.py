@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from magma_tpu.utils import round_up
+
 NEG_INF = float("-inf")
 
 
@@ -188,7 +190,11 @@ def generate_tokens(
         prompt_len = jnp.asarray(prompt_len).astype(jnp.int32)
     per_row = prompt_len.ndim == 1
 
-    cache = gptj.init_kv_cache(cfg, b, s + max_steps)
+    # cache length rounded up to 64: the fused decode-layer kernel's
+    # position blocks need a block-divisible max_len, and its clamped
+    # index maps make the padding positions free (the XLA decode path
+    # pays ~10 MB/token of masked reads for it -- noise at these sizes)
+    cache = gptj.init_kv_cache(cfg, b, round_up(s + max_steps, 64))
 
     # ---- prefill (sampling.py:81-85) ----
     # return_hidden: only the last true position feeds the sampler, so the
@@ -262,7 +268,7 @@ def _split_prefill(cfg, params, embeddings, prompt_len, *, max_steps):
 
     b, s, _ = embeddings.shape
     per_row = prompt_len.ndim == 1
-    cache = gptj.init_kv_cache(cfg, b, s + max_steps)
+    cache = gptj.init_kv_cache(cfg, b, round_up(s + max_steps, 64))
     hidden, cache = gptj.forward(
         cfg, params, embeddings, cache=cache, cache_index=jnp.int32(0),
         kv_len=jnp.broadcast_to(prompt_len, (b,)), remat=False,
@@ -405,7 +411,7 @@ def generate_tokens_split(
         C = prefill_chunk
         n_chunks = -(-s // C)
         # the final (padded) chunk writes up to n_chunks * C
-        total_len = max(s + max_steps, n_chunks * C)
+        total_len = round_up(max(s + max_steps, n_chunks * C), 64)
         cache = _split_cache_init(cfg, batch=b, total_len=total_len)
         last_h = jnp.zeros(
             (b, 1, embeddings.shape[2]), cfg.compute_dtype
