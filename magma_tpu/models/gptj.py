@@ -949,13 +949,16 @@ def _run_decode_fused_layers(
     cache: Dict,
     cache_index: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """b=1 s=1 decode where each layer is ONE Pallas launch covering
+    """b=1 s=1 decode where ALL layers run in ONE Pallas launch —
     rotary + cache attention + gelu + dual(o,fc_out) + adapters +
-    residual + next LN + next in_proj (ops/decode_layer.py).  The
-    28-layer step becomes 28 back-to-back launches with no XLA glue —
-    the round-5 lever on the ~0.35 ms/tok glue + ~0.8 ms/tok gap the
-    round-4 study measured (docs/SERVING.md)."""
-    from magma_tpu.ops.decode_layer import decode_layer_fused, rotary_matrix
+    residual + next LN + next in_proj per layer, activations chained
+    through VMEM scratch across the layer grid dim
+    (ops/decode_layer.decode_all_layers_fused).  The round-5 lever on
+    the ~0.35 ms/tok XLA glue + ~0.8 ms/tok wall-vs-device gap the
+    round-4 study measured: a 28-back-to-back-launch variant still paid
+    ~25 us of exposed dispatch latency per launch."""
+    from magma_tpu.ops.decode_layer import (decode_all_layers_fused,
+                                            rotary_matrix)
 
     L, D = cfg.n_layers, cfg.d_model
     cdt = cfg.compute_dtype
@@ -987,28 +990,19 @@ def _run_decode_fused_layers(
         x2, {"scale": blocks["ln_1"]["scale"][0],
              "bias": blocks["ln_1"]["bias"][0]}, cfg.ln_eps, cdt)
     fused = _mm(u2, {**attn_w["in_proj"], "idx": 0}, cdt)
-    k_news, v_news = [], []
-    for l in range(L):
-        outs = decode_layer_fused(
-            fused, x2, rotmat, cache["k"], cache["v"], kvs, idx,
-            attn_w["out_proj"], fc_in_b, bv["b_fc_out"],
-            bv["ln_g"], bv["ln_b"], l, n_heads=cfg.n_heads,
-            w_in=None if l == L - 1 else attn_w["in_proj"],
-            fz_attn=fz_attn, attn_src=attn_src,
-            fz_mlp=fz_mlp, mlp_src=mlp_src,
-            u_in=u2, o_bias=bv.get("o_bias"), scale=scale,
-            ln_eps=cfg.ln_eps)
-        if l == L - 1:
-            x2, u2, kn, vn = outs       # u2 = ln_f(x2) (forward re-applies)
-        else:
-            x2, u2, fused, kn, vn = outs
-        k_news.append(kn)
-        v_news.append(vn)
-    x = x2.reshape(1, 1, D).astype(cdt)
+    y, k_new, v_new = decode_all_layers_fused(
+        fused.astype(jnp.bfloat16), x2.astype(jnp.bfloat16),
+        u2.astype(jnp.bfloat16), rotmat, cache["k"], cache["v"], kvs, idx,
+        attn_w["out_proj"], attn_w["in_proj"], fc_in_b, bv["b_fc_out"],
+        bv["ln_g"], bv["ln_b"], n_heads=cfg.n_heads,
+        fz_attn=fz_attn, attn_src=attn_src, fz_mlp=fz_mlp,
+        mlp_src=mlp_src, o_bias=bv.get("o_bias"), scale=scale,
+        ln_eps=cfg.ln_eps)
+    x = y.reshape(1, 1, D).astype(cdt)
     # flat (L, 1, D) rows -> (L, b=1, s=1, h, hd) for the bulk cache write
     h, hd = cfg.n_heads, cfg.head_dim
-    k_new = jnp.stack(k_news).reshape(L, 1, 1, h, hd).astype(cdt)
-    v_new = jnp.stack(v_news).reshape(L, 1, 1, h, hd).astype(cdt)
+    k_new = k_new.reshape(L, 1, 1, h, hd).astype(cdt)
+    v_new = v_new.reshape(L, 1, 1, h, hd).astype(cdt)
     return x, _write_cache(cache, k_new, v_new, cache_index)
 
 
