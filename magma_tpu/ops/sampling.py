@@ -235,24 +235,20 @@ def generate_tokens(
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, step))
         done = jnp.logical_or(done, tok == eos_token)
 
-        # the forward produces logits for the NEXT token; when this one
-        # was the last (budget reached or every row done — exactly the
-        # loop's exit condition) skip it: one full-model decode step per
-        # generate call would otherwise run unconsumed
-        need_next = jnp.logical_and(step + 1 < max_steps, ~jnp.all(done))
-
-        def fwd(cache):
-            emb = gptj.embed_tokens(cfg, params, tok[:, None])  # (b, 1, D)
-            logits, new_cache = gptj.forward(
-                cfg, params, emb, cache=cache, cache_index=cur_len,
-                remat=False,
-            )
-            return logits[:, -1], new_cache
-
-        last, cache = jax.lax.cond(
-            need_next, fwd, lambda c: (jnp.zeros_like(last_logits), c), cache
+        # the forward runs UNCONDITIONALLY: an earlier revision skipped
+        # the final unconsumed step behind a lax.cond, but a cond whose
+        # operands include the KV cache blocks XLA's in-place
+        # while-loop buffer aliasing — every step then copies the cache
+        # (~1.2 ms/tok at 6B int4, measured), dwarfing the one decode
+        # step (~5.6 ms once per generate call) the cond saved.  The
+        # extra step's K/V land at cur_len and are never read (the loop
+        # exits before any consumer).
+        emb = gptj.embed_tokens(cfg, params, tok[:, None])  # (b, 1, D)
+        logits, cache = gptj.forward(
+            cfg, params, emb, cache=cache, cache_index=cur_len,
+            remat=False,
         )
-        return step + 1, tokens, cache, last, done, cur_len + 1
+        return step + 1, tokens, cache, logits[:, -1], done, cur_len + 1
 
     state = (jnp.int32(0), tokens0, cache, last, done0, prompt_len)
     step, tokens, *_ = jax.lax.while_loop(cond, body, state)
