@@ -71,6 +71,19 @@ class _Slot:
     tokens: List[int]
     max_new_tokens: int
     sampling: Tuple[float, int, float]  # (temperature, top_k, top_p)
+    # pipelined mode: the install program's first sampled token, kept on
+    # device until the next collect so admission costs no host sync
+    pending_first: Optional[object] = None
+    install_next_write: int = 0
+
+
+@dataclasses.dataclass
+class _PendingWindow:
+    """A dispatched-but-unfetched decode window (pipelined mode)."""
+    toks: object                # (B, n) int32 device array
+    start_lens: np.ndarray      # cur_lens at dispatch
+    active: np.ndarray          # active mask at dispatch
+    req_ids: List[Optional[int]]  # slot -> req id at dispatch
 
 
 @dataclasses.dataclass
@@ -109,6 +122,10 @@ class _CacheGroup:
             self.cache = shard_kv_cache(mesh, self.cache)
         self.cur_lens = np.zeros(max_batch, np.int32)
         self.last_toks = np.full(max_batch, eos_token, np.int32)
+        # pipelined mode: the device-resident last-token vector the next
+        # window chains from (no host fetch), plus the in-flight window
+        self.last_dev = jnp.asarray(self.last_toks)
+        self.pending: Optional[_PendingWindow] = None
         self.slots: List[Optional[_Slot]] = [None] * max_batch
         # per-slot sampling params (only meaningful where slots[i] is set)
         self.temps = np.zeros(max_batch, np.float32)
@@ -358,6 +375,7 @@ class LMServingEngine:
         prefill_chunk: int = 0,
         seed: int = 0,
         mesh=None,
+        pipeline_windows: bool = True,
     ):
         """``mesh``: a jax.sharding.Mesh with a "tp" axis — the engine
         then serves a TENSOR-PARALLEL LM: params are placed with the
@@ -404,6 +422,16 @@ class LMServingEngine:
         # One chunked prefill is in flight at a time (bounds the scratch
         # cache to one extra row).
         self.prefill_chunk = int(prefill_chunk)
+        # pipelined windows (default): each step dispatches the next
+        # decode window BEFORE fetching the previous one's tokens, chained
+        # device-side through the pool's last-token vector — the host
+        # round trip (dispatch + (B,) fetch, ~1-33 ms depending on
+        # transport) rides the window's device execution instead of
+        # serializing with it.  Host bookkeeping (streaming, EOS/budget
+        # retirement, admission) lags exactly one window; a request's
+        # final window may overlap one discarded speculative window.
+        # Token outputs are identical to the unpipelined engine.
+        self.pipeline_windows = bool(pipeline_windows)
         self._inflight: Optional[_InflightPrefill] = None
         self._rng = jax.random.PRNGKey(seed)
         self._step_count = 0
@@ -456,7 +484,8 @@ class LMServingEngine:
     @property
     def has_work(self) -> bool:
         return (bool(self.pending) or self._inflight is not None
-                or any(g.active.any() for g in self.groups))
+                or any(g.active.any() or g.pending is not None
+                       for g in self.groups))
 
     @property
     def resident_cache_positions(self) -> int:
@@ -501,6 +530,17 @@ class LMServingEngine:
             jnp.full((1,), t, jnp.float32), jnp.full((1,), k, jnp.int32),
             jnp.full((1,), p, jnp.float32), top_p_mode=self.top_p_mode,
         )
+        if self.pipeline_windows:
+            # keep the first token on device: it feeds the next window via
+            # last_dev; the host copy (streaming + retire check) lands at
+            # the next collect — admission costs zero host syncs
+            g.last_dev = g.last_dev.at[slot_id].set(tok)
+            g.slots[slot_id] = _Slot(req_id, [], max_new, sampling,
+                                     pending_first=tok,
+                                     install_next_write=s)
+            g.cur_lens[slot_id] = s
+            g.temps[slot_id], g.top_ks[slot_id], g.top_ps[slot_id] = t, k, p
+            return
         tok = int(tok)
         g.slots[slot_id] = _Slot(req_id, [tok], max_new, sampling)
         g.cur_lens[slot_id] = s
@@ -621,15 +661,47 @@ class LMServingEngine:
         )
         g.slots[slot_id] = None
 
+    def _worth_dispatching(self, gi) -> bool:
+        """Pipelined mode: is any live slot still owed tokens after the
+        ones already committed (window in flight + deferred install
+        token)?  Skipping the dispatch when every slot's budget is covered
+        avoids a pure-waste speculative window during the drain."""
+        g = self.groups[gi]
+        n_pend = g.pending.toks.shape[1] if g.pending is not None else 0
+        for sid, slot in enumerate(g.slots):
+            if slot is None:
+                continue
+            committed = len(slot.tokens)
+            if slot.pending_first is not None:
+                committed += 1
+            if g.pending is not None and g.pending.active[sid] \
+                    and g.pending.req_ids[sid] == slot.req_id:
+                committed += n_pend
+            if committed < slot.max_new_tokens:
+                return True
+        return False
+
     def _run_group_window(self, gi, chunk_job, emitted):
         """Dispatch one decode window for group ``gi``; piggyback the
-        in-flight prefill chunk when ``chunk_job`` is set."""
+        in-flight prefill chunk when ``chunk_job`` is set.
+
+        Pipelined mode: the window chains from the device-resident
+        ``last_dev`` token vector and is stashed as ``g.pending``; the
+        PREVIOUS pending window is collected afterwards, so its
+        device->host token fetch overlaps this window's execution."""
         g = self.groups[gi]
+        pipelined = self.pipeline_windows
+        if pipelined and not self._worth_dispatching(gi):
+            self._collect_group(gi, emitted)
+            if chunk_job is not None:
+                self._advance_inflight(emitted)
+            return
         active = g.active
         start_lens = g.cur_lens.copy()
+        last_toks = g.last_dev if pipelined else jnp.asarray(g.last_toks)
         args = (
             self.cfg, self.params, g.cache,
-            jnp.asarray(g.last_toks), jnp.asarray(g.cur_lens),
+            last_toks, jnp.asarray(g.cur_lens),
             jnp.asarray(active), self._fold_rng(),
         )
         # uniform-default windows keep the cheap static program (greedy
@@ -665,6 +737,24 @@ class LMServingEngine:
             chunk_done = (true_len, last_h)
         else:
             g.cache, toks = decode_fn(*args, *sample_args, **kw)
+        if pipelined:
+            prev = g.pending
+            g.pending = _PendingWindow(
+                toks, start_lens, active,
+                [s.req_id if s is not None else None for s in g.slots],
+            )
+            g.last_dev = toks[:, -1]
+            # device wrote n positions for every active row; mirror that
+            # now (deterministic) so the next dispatch positions correctly
+            g.cur_lens = g.cur_lens + active.astype(np.int32) * int(
+                toks.shape[1])
+            if chunk_done is not None:
+                # install (if the prefill completed) dispatches AFTER this
+                # window on the device stream, so its full-row scatter
+                # overwrites the window's placeholder writes to that slot
+                self._finish_chunk(*chunk_done, emitted)
+            self._collect_window(gi, prev, emitted)
+            return
         toks = np.asarray(toks)  # (B, n) int32 — the only D2H per window
         # device wrote n positions for every row active at window start;
         # host bookkeeping must mirror that even for rows retired below
@@ -686,11 +776,61 @@ class LMServingEngine:
         if chunk_done is not None:
             self._finish_chunk(*chunk_done, emitted)
 
+    def _collect_window(self, gi, prev, emitted):
+        """Fetch and book a previously dispatched window (pipelined mode):
+        ONE device->host transfer covers the window tokens and any
+        deferred install tokens, then the usual streaming/retire loop
+        runs against the states recorded at dispatch."""
+        g = self.groups[gi]
+        firsts = [(sid, s) for sid, s in enumerate(g.slots)
+                  if s is not None and s.pending_first is not None]
+        fetch = ([] if prev is None else [prev.toks]) + [
+            s.pending_first for _, s in firsts]
+        if not fetch:
+            return
+        vals = jax.device_get(fetch)
+        toks = None
+        if prev is not None:
+            toks, vals = np.asarray(vals[0]), vals[1:]
+        # install tokens first: the install preceded any window that
+        # includes its slot, so its token is that row's first output
+        for (sid, slot), v in zip(firsts, vals):
+            tok = int(v)
+            slot.pending_first = None
+            slot.tokens.append(tok)
+            g.last_toks[sid] = tok
+            emitted.setdefault(slot.req_id, []).append(tok)
+            self._retire_check(gi, sid, slot.install_next_write)
+        if toks is None:
+            return
+        for sid in range(g.max_batch):
+            if not prev.active[sid] or prev.req_ids[sid] is None:
+                continue
+            for k in range(toks.shape[1]):
+                slot = g.slots[sid]
+                if slot is None or slot.req_id != prev.req_ids[sid]:
+                    break  # retired (slot possibly reused): stale tail
+                tok = int(toks[sid, k])
+                slot.tokens.append(tok)
+                g.last_toks[sid] = tok
+                emitted.setdefault(slot.req_id, []).append(tok)
+                self._retire_check(gi, sid, int(prev.start_lens[sid]) + k + 1)
+
+    def _collect_group(self, gi, emitted):
+        g = self.groups[gi]
+        prev, g.pending = g.pending, None
+        self._collect_window(gi, prev, emitted)
+
     def step(self) -> Dict[int, List[int]]:
         """Admit pending requests, run one decode window per active pool
         (``decode_window`` tokens per active slot, one dispatch per pool;
         the in-flight prefill chunk piggybacks on the first dispatch).
-        Returns {req_id: [tokens]} emitted during this call."""
+        Returns {req_id: [tokens]} emitted during this call.
+
+        Pipelined mode (default): each pool's window is dispatched before
+        the previous window's tokens are fetched, so emission lags one
+        window behind the device; a second admission pass fills slots the
+        collects just freed."""
         emitted: Dict[int, List[int]] = {}
         self._admit(emitted)
         active_groups = [
@@ -702,11 +842,20 @@ class LMServingEngine:
         if not active_groups:
             if self._inflight is not None:
                 self._advance_inflight(emitted)
+            if self.pipeline_windows:
+                for gi in range(len(self.groups)):
+                    self._collect_group(gi, emitted)
+                self._admit(emitted)  # slots the collects just freed
             return emitted
         for n, gi in enumerate(active_groups):
             self._run_group_window(
                 gi, chunk_job if n == 0 else None, emitted
             )
+        if self.pipeline_windows:
+            for gi, g in enumerate(self.groups):
+                if gi not in active_groups and g.pending is not None:
+                    self._collect_group(gi, emitted)
+            self._admit(emitted)  # fill slots this step's collects freed
         return emitted
 
     def run(self) -> Dict[int, FinishedRequest]:

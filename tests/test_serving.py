@@ -449,3 +449,41 @@ def test_engine_tp_rejects_unsplittable_heads(lm):
     mesh = Mesh(np.array(jax.devices()[:3]), axis_names=("tp",))
     with pytest.raises(ValueError, match="n_heads"):
         LMServingEngine(cfg, params, mesh=mesh)  # 4 heads, tp=3
+
+
+def test_pipelined_matches_unpipelined(lm):
+    """pipeline_windows=True (default, dispatch-then-collect with a
+    one-window lag) must be token-identical to the synchronous engine on
+    an oversubscribed greedy trace with mixed sampling params."""
+    cfg, params = lm
+    outs = []
+    for pipelined in (False, True):
+        eng = LMServingEngine(cfg, params, max_batch=2, max_len=128,
+                              eos_token=EOS, prefill_bucket=8,
+                              decode_window=3, pipeline_windows=pipelined)
+        ids = [
+            eng.submit(_prompt(300 + i, 4 + 3 * i, cfg.d_model),
+                       max_new_tokens=7,
+                       **({"temperature": 0.8, "top_k": 1} if i == 2 else {}))
+            for i in range(5)
+        ]
+        res = eng.run()
+        outs.append([res[r].tokens for r in ids])
+        for r in ids:
+            assert res[r].finish_reason in ("eos", "length")
+    assert outs[0] == outs[1], outs
+
+
+def test_pipelined_streaming_lags_but_completes(lm):
+    """step() in pipelined mode may emit a window late, but the stream
+    union equals the final tokens and respects the budget."""
+    cfg, params = lm
+    eng = LMServingEngine(cfg, params, max_batch=2, max_len=128,
+                          eos_token=EOS, prefill_bucket=8, decode_window=2)
+    rid = eng.submit(_prompt(310, 5, cfg.d_model), max_new_tokens=5)
+    seen = []
+    while eng.has_work:
+        seen.extend(eng.step().get(rid, []))
+    res = eng.finished[rid]
+    assert res.tokens == seen
+    assert len(res.tokens) <= 5
