@@ -205,6 +205,9 @@ class Magma:
                 out[i] = inp.get_transformed_image(transform_fn=self.transforms)
             elif isinstance(inp, (np.ndarray, jnp.ndarray)):
                 pass  # already a tensor
+            elif type(inp).__module__.startswith("PIL."):
+                # a raw PIL image: same path ImageInput takes after load
+                out[i] = self.transforms(inp)
             else:
                 raise Exception(f"Invalid input type:{type(inp)}")
         if embed:
