@@ -49,6 +49,7 @@ round-4 boundary path.  Serving-only: no VJP.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -828,7 +829,7 @@ def _declayer_call(h, hd, F, L, max_len, wf, sblk, n_attn, nko, n_dual,
 
 def _alllayer_kernel(refs, *, L, h, hd, F, wf, sblk, n_attn, nko, n_dual,
                      ad_a, ad_m, t_ep, nki, nj, has_obias, has_kvs,
-                     scale, ln_eps):
+                     scale, ln_eps, gpb=1):
     """All-layers decode kernel body.  Grid (L, T): dim 0 walks the layer
     stack, dim 1 the per-layer phases of :func:`_declayer_kernel`.
     Activations (residual x, LN output u, in_proj output ``fused``)
@@ -924,62 +925,83 @@ def _alllayer_kernel(refs, *, L, h, hd, F, wf, sblk, n_attn, nko, n_dual,
             jnp.bfloat16)
 
     # ---- dual o_proj + fc_out ----
+    # gpb = quantization groups (K blocks of INT4_GROUP rows) consumed
+    # per grid step: at b=1 the dual/in_proj phases are fixed-cost-bound
+    # (~1.5-2 us of grid bookkeeping per step vs <1 us of int4 DMA), so
+    # wider blocks cut the step count without touching the stream
+    nko_s, n_dual_s = nko // gpb, n_dual // gpb
     tp = t - n_attn
 
-    def _dual_upd_int4(xlo, xhi):
+    def _dual_upd_int4(g, xlo, xhi):
         xlo_q, sxlo = _quantize_act_block(xlo)
         xhi_q, sxhi = _quantize_act_block(xhi)
-        p32 = wd_ref[0].astype(jnp.int32)
+        p32 = wd_ref[0, pl.dslice(g * INT4_GROUP, INT4_GROUP)].astype(
+            jnp.int32)
         lo = ((p32 << 28) >> 28).astype(jnp.int8)
         hi = (p32 >> 4).astype(jnp.int8)
         plo = jax.lax.dot(xlo_q, lo, preferred_element_type=jnp.int32)
         phi = jax.lax.dot(xhi_q, hi, preferred_element_type=jnp.int32)
-        pair = dsd_ref[0, tp]
+        pair = dsd_ref[0, tp * gpb + g]   # scales whole-resident
         return (plo.astype(jnp.float32) * sxlo * pair[0:1]
                 + phi.astype(jnp.float32) * sxhi * pair[1:2])
 
-    def _dual_upd_int8(x):
-        w = wd_ref[0].astype(jnp.bfloat16)
+    def _dual_upd_int8(g, x):
+        w = wd_ref[0, pl.dslice(g * INT4_GROUP, INT4_GROUP)].astype(
+            jnp.bfloat16)
         return jax.lax.dot(x.astype(jnp.bfloat16), w,
                            preferred_element_type=jnp.float32)
 
     def _dual_store(upd):
-        @pl.when(tp < nko)
+        @pl.when(tp < nko_s)
         def _o():
             acco_s[0:1] += upd
 
-        @pl.when(tp >= nko)
+        @pl.when(tp >= nko_s)
         def _f():
             accf_s[0:1] += upd
 
     if wf == "int4":
-        @pl.when((t >= n_attn) & (tp < n_dual))
+        @pl.when((t >= n_attn) & (tp < n_dual_s))
         def _dual4():
-            @pl.when(tp < nko)
+            @pl.when(tp < nko_s)
             def _ctx_part():
-                xlo = ctx_s[0:1, pl.dslice(tp * hd, hd)]
-                xhi = ctx_s[0:1, pl.dslice((nko + tp) * hd, hd)]
-                _dual_store(_dual_upd_int4(xlo, xhi))
+                upd = 0.0
+                for g in range(gpb):
+                    j = tp * gpb + g
+                    xlo = ctx_s[0:1, pl.dslice(j * hd, hd)]
+                    xhi = ctx_s[0:1, pl.dslice((nko + j) * hd, hd)]
+                    upd += _dual_upd_int4(g, xlo, xhi)
+                _dual_store(upd)
 
-            @pl.when(tp >= nko)
+            @pl.when(tp >= nko_s)
             def _mh_part():
-                j2 = tp - nko
-                xlo = mh_s[0:1, pl.dslice(j2 * hd, hd)]
-                xhi = mh_s[0:1, pl.dslice((nkf + j2) * hd, hd)]
-                _dual_store(_dual_upd_int4(xlo, xhi))
+                upd = 0.0
+                for g in range(gpb):
+                    j2 = (tp - nko_s) * gpb + g
+                    xlo = mh_s[0:1, pl.dslice(j2 * hd, hd)]
+                    xhi = mh_s[0:1, pl.dslice((nkf + j2) * hd, hd)]
+                    upd += _dual_upd_int4(g, xlo, xhi)
+                _dual_store(upd)
     else:
-        @pl.when((t >= n_attn) & (tp < n_dual))
+        @pl.when((t >= n_attn) & (tp < n_dual_s))
         def _dual8():
-            @pl.when(tp < nko)
+            @pl.when(tp < nko_s)
             def _ctx_part():
-                _dual_store(_dual_upd_int8(
-                    ctx_s[0:1, pl.dslice(tp * hd, hd)]))
+                upd = 0.0
+                for g in range(gpb):
+                    j = tp * gpb + g
+                    upd += _dual_upd_int8(
+                        g, ctx_s[0:1, pl.dslice(j * hd, hd)])
+                _dual_store(upd)
 
-            @pl.when(tp >= nko)
+            @pl.when(tp >= nko_s)
             def _mh_part():
-                j2 = tp - nko
-                _dual_store(_dual_upd_int8(
-                    mh_s[0:1, pl.dslice(j2 * hd, hd)]))
+                upd = 0.0
+                for g in range(gpb):
+                    j2 = (tp - nko_s) * gpb + g
+                    upd += _dual_upd_int8(
+                        g, mh_s[0:1, pl.dslice(j2 * hd, hd)])
+                _dual_store(upd)
 
     def _branch_a():
         if wf == "int4":
@@ -1074,40 +1096,50 @@ def _alllayer_kernel(refs, *, L, h, hd, F, wf, sblk, n_attn, nko, n_dual,
             y_ref[...] = y
 
     # ---- next layer's in_proj on the just-written u ----
+    nki_s = nki // gpb
+
     @pl.when((t >= t_ep) & (l < L - 1))
     def _inproj():
         rel = t - t_ep
-        kb = rel % nki
+        kb = rel % nki_s
 
         @pl.when(kb == 0)
         def _iinit():
             acci_s[...] = jnp.zeros_like(acci_s)
 
         if wf == "int4":
-            ulo = u_s[0:1, pl.dslice(kb * INT4_GROUP, INT4_GROUP)]
-            uhi = u_s[0:1, pl.dslice((nki + kb) * INT4_GROUP,
-                                     INT4_GROUP)]
-            ulo_q, sulo = _quantize_act_block(ulo)
-            uhi_q, suhi = _quantize_act_block(uhi)
-            p32 = wi_ref[0].astype(jnp.int32)
-            lo = ((p32 << 28) >> 28).astype(jnp.int8)
-            hi = (p32 >> 4).astype(jnp.int8)
-            plo = jax.lax.dot(ulo_q, lo, preferred_element_type=jnp.int32)
-            phi = jax.lax.dot(uhi_q, hi, preferred_element_type=jnp.int32)
-            pair = si_ref[0, 0, kb]
-            acci_s[0:1] += (
-                plo.astype(jnp.float32) * sulo * pair[0:1]
-                + phi.astype(jnp.float32) * suhi * pair[1:2])
+            for g in range(gpb):
+                g2 = kb * gpb + g
+                ulo = u_s[0:1, pl.dslice(g2 * INT4_GROUP, INT4_GROUP)]
+                uhi = u_s[0:1, pl.dslice((nki + g2) * INT4_GROUP,
+                                         INT4_GROUP)]
+                ulo_q, sulo = _quantize_act_block(ulo)
+                uhi_q, suhi = _quantize_act_block(uhi)
+                p32 = wi_ref[0, pl.dslice(g * INT4_GROUP,
+                                          INT4_GROUP)].astype(jnp.int32)
+                lo = ((p32 << 28) >> 28).astype(jnp.int8)
+                hi = (p32 >> 4).astype(jnp.int8)
+                plo = jax.lax.dot(ulo_q, lo,
+                                  preferred_element_type=jnp.int32)
+                phi = jax.lax.dot(uhi_q, hi,
+                                  preferred_element_type=jnp.int32)
+                pair = si_ref[0, 0, g2]
+                acci_s[0:1] += (
+                    plo.astype(jnp.float32) * sulo * pair[0:1]
+                    + phi.astype(jnp.float32) * suhi * pair[1:2])
         else:
-            ub = u_s[0:1, pl.dslice(kb * INT4_GROUP, INT4_GROUP)]
-            w = wi_ref[0].astype(jnp.bfloat16)
-            acci_s[0:1] += jax.lax.dot(
-                ub.astype(jnp.bfloat16), w,
-                preferred_element_type=jnp.float32)
+            for g in range(gpb):
+                g2 = kb * gpb + g
+                ub = u_s[0:1, pl.dslice(g2 * INT4_GROUP, INT4_GROUP)]
+                w = wi_ref[0, pl.dslice(g * INT4_GROUP,
+                                        INT4_GROUP)].astype(jnp.bfloat16)
+                acci_s[0:1] += jax.lax.dot(
+                    ub.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32)
 
-        @pl.when(kb == nki - 1)
+        @pl.when(kb == nki_s - 1)
         def _istore():
-            j = rel // nki
+            j = rel // nki_s
             if wf == "int4":
                 blk = acci_s[0:1].astype(jnp.bfloat16)
             else:
@@ -1160,6 +1192,17 @@ def decode_all_layers_fused(fused0, x0, u0, rotmat, k_cache, v_cache,
         NI = w_in["q"].shape[-1]
     bni = _declayer_inproj_block(NI)
     nj = NI // bni
+    # groups per grid step for the dual/in_proj weight streams: the b=1
+    # phases are fixed-cost-bound, so wider blocks cut the step count
+    # when the geometry splits evenly (see _alllayer_kernel).  Default 2
+    # (measured best vs 1 on v5e); MAGMA_DECODE_GPB overrides for tuning.
+    gpb_req = int(os.environ.get("MAGMA_DECODE_GPB", "2"))
+    gpb = 1
+    for cand in (8, 4, 2):
+        if (cand <= gpb_req and nko % cand == 0
+                and (n_dual - nko) % cand == 0 and nki % cand == 0):
+            gpb = cand
+            break
 
     def spec_of(fz, src):
         if fz is None:
@@ -1168,7 +1211,7 @@ def decode_all_layers_fused(fused0, x0, u0, rotmat, k_cache, v_cache,
         return {"DH": DH, "bk": _adapter_bk(D, DH), "src": src}
 
     sa, sm = spec_of(fz_attn, attn_src), spec_of(fz_mlp, mlp_src)
-    t0 = n_attn + n_dual
+    t0 = n_attn + n_dual // gpb
     ad_a = ad_m = None
     if sa is not None:
         ad_a = {"t0": t0, "nkd": D // sa["bk"], "nku": sa["DH"] // sa["bk"],
@@ -1179,7 +1222,7 @@ def decode_all_layers_fused(fused0, x0, u0, rotmat, k_cache, v_cache,
                 "bk": sm["bk"], "src": sm["src"]}
         t0 += ad_m["nkd"] + ad_m["nku"]
     t_ep = t0
-    T = t_ep + nj * nki
+    T = t_ep + nj * (nki // gpb)
 
     pos = jnp.asarray(cache_pos, jnp.int32).reshape(1)
 
@@ -1220,7 +1263,7 @@ def decode_all_layers_fused(fused0, x0, u0, rotmat, k_cache, v_cache,
         None if ad_a is None else fz_attn["wd"].shape[2],
         None if ad_m is None else fz_mlp["wd"].shape[2],
         t_ep, nki, nj, NI, bni, has_kvs, o_bias is not None,
-        float(scale), float(ln_eps), T)
+        float(scale), float(ln_eps), T, gpb)
     return call(*args)
 
 
@@ -1252,10 +1295,11 @@ def _all_layers_ref(fused0, x0, u0, rotmat, k_cache, v_cache, kv_scales,
 @functools.lru_cache(maxsize=16)
 def _alllayer_call(L, h, hd, F, max_len, wf, sblk, n_attn, nko, n_dual,
                    ad_a_f, ad_m_f, dha, dhm, t_ep, nki, nj, NI, bni,
-                   has_kvs, has_obias, scale, ln_eps, T):
+                   has_kvs, has_obias, scale, ln_eps, T, gpb=1):
     """Build (and cache) the all-layers pallas_call for one static
     configuration — one Mosaic compile per serving config."""
     D = h * hd
+    n_dual_s, nki_s = n_dual // gpb, nki // gpb
     ad_a = None if ad_a_f is None else dict(ad_a_f)
     ad_m = None if ad_m_f is None else dict(ad_m_f)
 
@@ -1274,7 +1318,7 @@ def _alllayer_call(L, h, hd, F, max_len, wf, sblk, n_attn, nko, n_dual,
         return (l, 0, jnp.minimum(t, last), 0)
 
     def wd_idx(l, t, s):
-        return (l, jnp.clip(t - n_attn, 0, n_dual - 1), 0)
+        return (l, jnp.clip(t - n_attn, 0, n_dual_s - 1), 0)
 
     in_specs = [
         pl.BlockSpec((1, 3 * D + F), const2),
@@ -1288,11 +1332,11 @@ def _alllayer_call(L, h, hd, F, max_len, wf, sblk, n_attn, nko, n_dual,
         in_specs += [pl.BlockSpec((1, 1, sblk, h), sc_idx),
                      pl.BlockSpec((1, 1, sblk, h), sc_idx)]
     if wf == "int4":
-        in_specs += [pl.BlockSpec((1, INT4_GROUP, D), wd_idx),
+        in_specs += [pl.BlockSpec((1, gpb * INT4_GROUP, D), wd_idx),
                      pl.BlockSpec((1, n_dual, 2, D),
                                   lambda l, t, s: (l, 0, 0, 0))]
     else:
-        in_specs += [pl.BlockSpec((1, INT4_GROUP, D), wd_idx),
+        in_specs += [pl.BlockSpec((1, gpb * INT4_GROUP, D), wd_idx),
                      pl.BlockSpec((1, 2, D), lambda l, t, s: (l, 0, 0))]
     in_specs.append(pl.BlockSpec((1, 1, F), lvec))
 
@@ -1328,25 +1372,25 @@ def _alllayer_call(L, h, hd, F, max_len, wf, sblk, n_attn, nko, n_dual,
     # phase idles — freeze its maps at the last block already resident
     # so no fresh (and unused) DMA is issued
     def wi_idx(l, t, s):
-        rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
-        rel = jnp.where(l < L - 1, rel, nj * nki - 1)
-        return (jnp.minimum(l + 1, L - 1), rel % nki, rel // nki)
+        rel = jnp.clip(t - t_ep, 0, nj * nki_s - 1)
+        rel = jnp.where(l < L - 1, rel, nj * nki_s - 1)
+        return (jnp.minimum(l + 1, L - 1), rel % nki_s, rel // nki_s)
 
     if wf == "int4":
         def dsi_idx(l, t, s):
-            rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
-            rel = jnp.where(l < L - 1, rel, nj * nki - 1)
-            return (jnp.minimum(l + 1, L - 1), rel // nki, 0, 0, 0)
+            rel = jnp.clip(t - t_ep, 0, nj * nki_s - 1)
+            rel = jnp.where(l < L - 1, rel, nj * nki_s - 1)
+            return (jnp.minimum(l + 1, L - 1), rel // nki_s, 0, 0, 0)
 
-        in_specs += [pl.BlockSpec((1, INT4_GROUP, bni), wi_idx),
+        in_specs += [pl.BlockSpec((1, gpb * INT4_GROUP, bni), wi_idx),
                      pl.BlockSpec((1, 1, nki, 2, bni), dsi_idx)]
     else:
         def si_idx(l, t, s):
-            rel = jnp.clip(t - t_ep, 0, nj * nki - 1)
-            rel = jnp.where(l < L - 1, rel, nj * nki - 1)
-            return (jnp.minimum(l + 1, L - 1), 0, rel // nki)
+            rel = jnp.clip(t - t_ep, 0, nj * nki_s - 1)
+            rel = jnp.where(l < L - 1, rel, nj * nki_s - 1)
+            return (jnp.minimum(l + 1, L - 1), 0, rel // nki_s)
 
-        in_specs += [pl.BlockSpec((1, INT4_GROUP, bni), wi_idx),
+        in_specs += [pl.BlockSpec((1, gpb * INT4_GROUP, bni), wi_idx),
                      pl.BlockSpec((1, 1, bni), si_idx)]
 
     out_shape = [jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
@@ -1380,7 +1424,7 @@ def _alllayer_call(L, h, hd, F, max_len, wf, sblk, n_attn, nko, n_dual,
         _alllayer_kernel, L=L, h=h, hd=hd, F=F, wf=wf, sblk=sblk,
         n_attn=n_attn, nko=nko, n_dual=n_dual, ad_a=ad_a, ad_m=ad_m,
         t_ep=t_ep, nki=nki, nj=nj, has_obias=has_obias, has_kvs=has_kvs,
-        scale=scale, ln_eps=ln_eps)
+        scale=scale, ln_eps=ln_eps, gpb=gpb)
 
     return pl.pallas_call(
         lambda *refs: kernel(refs),

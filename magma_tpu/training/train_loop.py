@@ -136,7 +136,13 @@ class Trainer:
                     body, (g0, 0.0, state),
                     (images, captions, jnp.arange(ga)),
                 )
-                grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
+                # accumulate in fp32, hand the optimizer param-dtype grads
+                # (same as the ga=1 path): apply_if_finite's cond needs the
+                # updated Adam state to match the resident one's dtypes —
+                # fp32 grads against bf16 mu/nu promote and trip it
+                grads = jax.tree_util.tree_map(
+                    lambda g, p: (g / ga).astype(p.dtype), grads, trainable
+                )
                 loss = loss_sum / ga
 
             updates, new_opt_state = optimizer.update(

@@ -169,3 +169,20 @@ def test_batch_loader_slow_consumer_drops_nothing():
         seen.extend(captions[0, :, 0].tolist())
     loader.close()
     assert seen == list(range(16)), f"batches dropped or reordered: {seen}"
+
+
+def test_grad_accum_with_bf16_adapters_qlora():
+    """ga>1 + train_lm_int8 (bf16 adapter params): the fp32 grad
+    accumulators must be cast back to param dtype before the optimizer —
+    fp32 grads against bf16 Adam state promote the updated mu/nu and trip
+    optax.apply_if_finite's cond dtype check (regression: bench.py stage
+    6, the seq-2048 ga=2 recipe step, failed to trace)."""
+    cfg = _config(
+        gradient_accumulation_steps=2, train_steps=2,
+        freeze_lm=True, freeze_img_encoder=True, train_lm_int8=True,
+    )
+    tr = Trainer(Magma(cfg), cfg)
+    images, caps = _batch(b=8)
+    l0 = tr.train_step(images, caps)
+    l1 = tr.train_step(images, caps)
+    assert np.isfinite(l0) and np.isfinite(l1)
