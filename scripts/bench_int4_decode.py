@@ -43,8 +43,10 @@ def main():
 
     prompt = jax.random.normal(
         jax.random.PRNGKey(1), (1, 149, 4096), jnp.bfloat16) * 0.02
-    max_steps = 64
-    for b in (1, 8):
+    max_steps = int(os.environ.get("BENCH_STEPS", "64"))
+    batches = tuple(
+        int(x) for x in os.environ.get("BENCH_BATCHES", "1,8").split(","))
+    for b in batches:
         pb = jnp.broadcast_to(prompt, (b, *prompt.shape[1:]))
         jax.clear_caches()
 
