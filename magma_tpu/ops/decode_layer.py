@@ -1194,9 +1194,10 @@ def decode_all_layers_fused(fused0, x0, u0, rotmat, k_cache, v_cache,
     nj = NI // bni
     # groups per grid step for the dual/in_proj weight streams: the b=1
     # phases are fixed-cost-bound, so wider blocks cut the step count
-    # when the geometry splits evenly (see _alllayer_kernel).  Default 2
-    # (measured best vs 1 on v5e); MAGMA_DECODE_GPB overrides for tuning.
-    gpb_req = int(os.environ.get("MAGMA_DECODE_GPB", "2"))
+    # when the geometry splits evenly (see _alllayer_kernel).  Default 4
+    # (v5e 6B int4 whole-call sweep: gpb 1/2/4/8 -> 149.7/159.7/163.4/
+    # 161.0 tok/s); MAGMA_DECODE_GPB overrides for tuning.
+    gpb_req = int(os.environ.get("MAGMA_DECODE_GPB", "4"))
     gpb = 1
     for cand in (8, 4, 2):
         if (cand <= gpb_req and nko % cand == 0
