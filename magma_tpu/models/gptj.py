@@ -60,11 +60,15 @@ class GPTJConfig:
     # adapters keep fp32 masters even when the frozen LM is stored bf16
     # (they are the trainable set; optimizer quality wants fp32)
     adapter_param_dtype: Any = jnp.float32
-    # "flash" (Pallas kernel), "xla", or "ring" (context-parallel ring
-    # attention over the mesh's ``sp_axis`` — training/no-cache forwards
-    # only; cached generation paths fall back to flash.  Requires a mesh
-    # with the sp axis passed to ``forward(..., mesh=...)`` — the Trainer
-    # threads it automatically).
+    # "flash" (Pallas kernel), "xla", or "ring" (sequence parallelism
+    # over the mesh's ``sp_axis``: training/no-cache forwards use ring
+    # attention with KV blocks rotating over ICI
+    # (parallel/ring_attention.py); cached generation shards the KV
+    # cache's position axis and decodes via the distributed online
+    # softmax (parallel/sp_decode.py).  Requires a mesh passed to
+    # ``forward(..., mesh=...)`` / ``generate_tokens(mesh=...)`` — the
+    # Trainer threads it automatically; without one, cached paths warn
+    # and substitute flash).
     attention_impl: str = "flash"
     sp_axis: str = "sp"            # mesh axis ring attention shards over
     # "bf16" or "int8" (per-position/head scales; halves decode cache BW)
@@ -600,6 +604,20 @@ def _layer_cache(cfg, cache_d, layer_idx):
     return k_l, v_l, None, None
 
 
+def _sp_cache_active(cfg: GPTJConfig, mesh) -> bool:
+    """True when cached generation should use the sequence-sharded KV
+    path: ``attention_impl="ring"`` plus a mesh whose ``sp`` axis is >1
+    (parallel/sp_decode.py).  The cache arrays must then be sharded
+    ``P(None, None, "sp", ...)`` — ``generate_tokens(mesh=...)`` sets
+    the constraint."""
+    return (
+        mesh is not None
+        and cfg.attention_impl == "ring"
+        and cfg.sp_axis in mesh.axis_names
+        and mesh.shape[cfg.sp_axis] > 1
+    )
+
+
 def _decode_xla(cfg, cache_d, layer_idx, q, idx, kk, v, scale):
     """XLA decode-attention path: dynamic per-layer cache slice (fused into
     the attention einsum)."""
@@ -708,24 +726,42 @@ def _block(
             )
         elif s > 1:
             # prefill: keys are the just-computed prompt positions.
-            # "ring" is a training-time impl; cached generation has NO
-            # sequence-sharded decode path, so it substitutes flash —
-            # loudly (a silent swap made docs claim a path that doesn't
-            # exist, VERDICT r4 weak #4).  One chip holds the whole KV
-            # cache; for bigger caches shard heads over tp instead.
+            # With a >1-sp mesh the sequence-sharded serving path is
+            # active: prompt attention runs replicated (the PROMPT fits
+            # on a chip; it's the CACHE that grows), and the cache write
+            # below distributes K/V to the position shards.  Without a
+            # mesh, "ring" has no cached-generation meaning, so it
+            # substitutes flash — loudly (a silent swap made docs claim
+            # a path that doesn't exist, VERDICT r4 weak #4).
             impl = cfg.attention_impl
             if impl == "ring":
-                import warnings
+                if not _sp_cache_active(cfg, mesh):
+                    import warnings
 
-                warnings.warn(
-                    "attention_impl='ring' has no cached-generation path; "
-                    "using the flash kernel for prefill/decode (the KV "
-                    "cache lives on one chip — shard heads over tp for "
-                    "bigger caches)", RuntimeWarning, stacklevel=2)
+                    warnings.warn(
+                        "attention_impl='ring' without a >1-'sp' mesh has "
+                        "no cached-generation path; using the flash kernel "
+                        "for prefill/decode (the KV cache lives on one "
+                        "chip — pass mesh= for the sequence-sharded cache, "
+                        "or shard heads over tp)",
+                        RuntimeWarning, stacklevel=2)
                 impl = "flash"
             attn = causal_attention(
                 q, kk, v, scale=scale, impl=impl,
                 kv_len=kv_len, q_offset=0,
+            )
+        elif _sp_cache_active(cfg, mesh):
+            # decode over the position-sharded cache: distributed online
+            # softmax — each chip scores only its local cache shard, the
+            # shards combine via two tiny collectives
+            # (parallel/sp_decode.py).  Long-context serving beyond one
+            # chip's KV budget.
+            from magma_tpu.parallel.sp_decode import sp_decode_attention
+
+            k_l, v_l, k_sc, v_sc = _layer_cache(cfg, cache_d, layer_idx)
+            attn = sp_decode_attention(
+                q, k_l, v_l, idx, (kk, v), mesh, cfg.sp_axis, scale=scale,
+                kv_scales=None if k_sc is None else (k_sc, v_sc),
             )
         else:
             # decode step.  A hand-written Pallas decode-attention kernel
@@ -850,7 +886,7 @@ def _run_blocks(
         return _run_blocks_quantized(
             cfg, blocks, x, sin, cos, kv_len=kv_len, cache=cache,
             cache_index=cache_index, remat=remat,
-            read_history=read_history, positions=positions,
+            read_history=read_history, positions=positions, mesh=mesh,
         )
 
     if cache is None:
@@ -872,7 +908,7 @@ def _run_blocks(
             bp = jax.tree_util.tree_map(lambda t: t[i], blocks)
             x, (kn, vn) = _block(
                 cfg, bp, x, sin, cos, kv_len, (cache, i), cache_index,
-                read_history=read_history,
+                read_history=read_history, mesh=mesh,
             )
             k_news.append(kn)
             v_news.append(vn)
@@ -885,6 +921,7 @@ def _run_blocks(
         y, new_kv = _block(
             cfg, bp, carry, sin, cos, kv_len,
             (cache, idx), cache_index, read_history=read_history,
+            mesh=mesh,
         )
         return y, new_kv
 
@@ -1090,6 +1127,7 @@ def _run_blocks_quantized(
     remat: bool = False,
     read_history: bool = False,
     positions: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Block scan for int8-quantized weights.  The big stacked int8 arrays
     stay *outside* the scan (closure constants); the body passes the layer
@@ -1154,7 +1192,7 @@ def _run_blocks_quantized(
         def body(carry, xs):
             small_l, idx = xs
             y, _ = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
-                          kv_len, None, None)
+                          kv_len, None, None, mesh=mesh)
             return y, None
 
         if remat:
@@ -1162,7 +1200,11 @@ def _run_blocks_quantized(
         x, _ = jax.lax.scan(body, x, (small, jnp.arange(L)))
         return x, None
 
-    if (x.shape[1] == 1 and not read_history
+    # the single-chip fused decode paths (megakernel / boundary) assume
+    # the whole cache is local — they stand down when the sequence-
+    # sharded serving path is active
+    sp_cache = _sp_cache_active(cfg, mesh)
+    if (x.shape[1] == 1 and not read_history and not sp_cache
             and jax.default_backend() == "tpu"
             and _declayer_ok(cfg, blocks, x, cache)):
         # whole-layer fusion (attention inside the launch) — takes
@@ -1175,7 +1217,8 @@ def _run_blocks_quantized(
             cfg, blocks, x, positions, cache, cache_index)
 
     if x.shape[1] == 1 and _should_unroll(cfg, blocks, cache):
-        if _boundary_ok(cfg, blocks, x) and not read_history:
+        if _boundary_ok(cfg, blocks, x) and not read_history \
+                and not sp_cache:
             return _run_decode_boundary(
                 cfg, blocks, x, sin, cos, cache, cache_index)
         # decode step: unroll with static layer indices (see decode_unroll)
@@ -1185,6 +1228,7 @@ def _run_blocks_quantized(
             x, (kn, vn) = _block(
                 cfg, make_bp(small_l, i), x, sin, cos, kv_len,
                 (cache, i), cache_index, read_history=read_history,
+                mesh=mesh,
             )
             k_news.append(kn)
             v_news.append(vn)
@@ -1196,7 +1240,7 @@ def _run_blocks_quantized(
         small_l, idx = xs
         y, new_kv = _block(cfg, make_bp(small_l, idx), carry, sin, cos,
                            kv_len, (cache, idx), cache_index,
-                           read_history=read_history)
+                           read_history=read_history, mesh=mesh)
         return y, new_kv
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (small, jnp.arange(L)))

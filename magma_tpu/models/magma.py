@@ -253,12 +253,17 @@ class Magma:
         decode: bool = True,
         rng: Optional[jax.Array] = None,
         prompt_len=None,
+        mesh=None,
     ):
         """KV-cached sampling.  Parity: magma.py:214-236 + sampling.py.
 
         ``prompt_len`` (optional, (b,)) gives per-row true prompt lengths
         for a batch of right-padded prompts (batched VQA/captioning over
         ragged questions); default = the full embedding length.
+
+        ``mesh``: with ``attention_impl="ring"``, shards the KV cache's
+        position axis over the mesh's ``sp`` axis for contexts beyond
+        one chip's HBM (parallel/sp_decode.py; docs/SERVING.md).
         """
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
@@ -282,7 +287,13 @@ class Magma:
         # magma/sampling.py:43-121).  Token-identical; tested.
         b = embeddings.shape[0]
         extra = {}
-        if b * embeddings.shape[1] > 8192:
+        if mesh is not None:
+            # sequence-sharded cache (sp) serving: the monolithic program
+            # is already sharded over the mesh; the split path is a
+            # single-chip compile-size workaround and doesn't apply
+            gen = generate_tokens
+            extra = dict(mesh=mesh)
+        elif b * embeddings.shape[1] > 8192:
             gen = generate_tokens_split
             extra = dict(window=8, prefill_chunk=512)
         else:

@@ -38,6 +38,23 @@ from magma_tpu.utils import round_up
 NEG_INF = float("-inf")
 
 
+def _shard_cache_sp(cfg, cache, mesh):
+    """Constrain the KV cache's position axis to shard over the mesh's
+    ``sp`` axis: K/V are (L, b, max_len, h, hd) -> P(None, None, sp);
+    int8 scales are position-minor (L, b, h, max_len) -> last-axis sp.
+    Everything else about the cache pytree is untouched."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ax = cfg.sp_axis
+    kv = NamedSharding(mesh, P(None, None, ax, None, None))
+    sc = NamedSharding(mesh, P(None, None, None, ax))
+    return {
+        k: jax.lax.with_sharding_constraint(
+            v, sc if k.endswith("_scale") else kv)
+        for k, v in cache.items()
+    }
+
+
 def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     """Keep the k largest logits per row, -inf elsewhere (sampling.py:22-30)."""
     assert k > 0
@@ -154,7 +171,7 @@ def sample_token_batched(
     jax.jit,
     static_argnames=(
         "cfg", "max_steps", "temperature", "top_k", "top_p", "eos_token",
-        "top_p_mode",
+        "top_p_mode", "mesh",
     ),
 )
 def generate_tokens(
@@ -170,6 +187,7 @@ def generate_tokens(
     eos_token: int = 50256,
     prompt_len: Optional[jnp.ndarray] = None,  # scalar or (b,) true lengths
     top_p_mode: str = "reference",
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached generation.  Returns (tokens (b, max_steps) int32,
     n_steps int32 — number of valid steps before early exit).
@@ -178,6 +196,11 @@ def generate_tokens(
     of different true lengths (e.g. batched VQA): each row decodes from
     its own last true position, padding is masked out of attention, and
     cache writes land at per-row offsets.
+
+    ``mesh``: with ``cfg.attention_impl == "ring"`` and a mesh whose
+    ``sp`` axis is >1, the KV cache's position axis shards over ``sp``
+    and decode attention runs the distributed online softmax
+    (parallel/sp_decode.py) — contexts beyond one chip's KV budget.
 
     Positions beyond the early-exit step are filled with EOS.
     """
@@ -194,7 +217,16 @@ def generate_tokens(
     # position blocks need a block-divisible max_len, and its clamped
     # index maps make the padding positions free (the XLA decode path
     # pays ~10 MB/token of masked reads for it -- noise at these sizes)
-    cache = gptj.init_kv_cache(cfg, b, round_up(s + max_steps, 64))
+    sp_cache = gptj._sp_cache_active(cfg, mesh)
+    max_len = round_up(s + max_steps, 64)
+    if sp_cache:
+        # shard_map needs the position axis divisible by the sp size
+        max_len = round_up(max_len, mesh.shape[cfg.sp_axis])
+    else:
+        mesh = None  # keep the single-chip trace unchanged
+    cache = gptj.init_kv_cache(cfg, b, max_len)
+    if sp_cache:
+        cache = _shard_cache_sp(cfg, cache, mesh)
 
     # ---- prefill (sampling.py:81-85) ----
     # return_hidden: only the last true position feeds the sampler, so the
@@ -204,7 +236,7 @@ def generate_tokens(
     hidden, cache = gptj.forward(
         cfg, params, embeddings, cache=cache,
         cache_index=jnp.int32(0), kv_len=jnp.broadcast_to(prompt_len, (b,)),
-        remat=False, return_hidden=True,
+        remat=False, return_hidden=True, mesh=mesh,
     )
     # hidden at the last *true* prompt position
     if per_row:
@@ -246,8 +278,12 @@ def generate_tokens(
         emb = gptj.embed_tokens(cfg, params, tok[:, None])  # (b, 1, D)
         logits, cache = gptj.forward(
             cfg, params, emb, cache=cache, cache_index=cur_len,
-            remat=False,
+            remat=False, mesh=mesh,
         )
+        if sp_cache:
+            # pin the carry's position sharding so the while_loop never
+            # drifts to a replicated cache between steps
+            cache = _shard_cache_sp(cfg, cache, mesh)
         return step + 1, tokens, cache, logits[:, -1], done, cur_len + 1
 
     state = (jnp.int32(0), tokens0, cache, last, done0, prompt_len)
