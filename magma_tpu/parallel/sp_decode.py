@@ -100,5 +100,4 @@ def sp_decode_attention(
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(),
-        check_vma=False,
     )(*args)
