@@ -139,8 +139,10 @@ def main():
 
     max_steps = 64
     latencies = {}  # label -> single-call p50 seconds (tunnel RTT incl.)
+    steadies = {}   # label -> steady-state tok/s (slope between 2x/1x steps)
 
-    def bench_generate(params, prompt_embeds, label, reps=3, cfg=None):
+    def bench_generate(params, prompt_embeds, label, reps=3, cfg=None,
+                       steady=False):
         """Tokens/sec over full-length greedy decodes, two denominators:
 
         * **throughput** (returned, the recorded metric): ``reps`` generate
@@ -197,6 +199,31 @@ def main():
         latencies[label] = round(t_lat, 4)
         log(f"[{label}] pipelined {t:.3f}s -> {tps:.1f} tok/s "
             f"(single-call p50 {t_lat:.3f}s -> {b*max_steps/t_lat:.1f})")
+        if steady:
+            # steady-state per-token rate: slope of pipelined wall time
+            # between 2x- and 1x-step generates — the shared prefill
+            # intercept (~11 ms device) and per-call glue cancel, leaving
+            # the marginal decode cost a long generation actually pays
+            def run2(seed):
+                return generate_tokens(
+                    cfg, params, prompt_embeds, jax.random.PRNGKey(seed),
+                    max_steps=2 * max_steps, temperature=0.0, top_k=0,
+                    top_p=0.0, eos_token=-1,
+                )
+
+            toks, steps = run2(0)
+            jax.block_until_ready(toks)
+            assert int(steps) == 2 * max_steps
+            t0 = time.time()
+            outs = [run2(i) for i in range(reps)]
+            for toks, _ in outs:
+                jax.block_until_ready(toks)
+            t2 = (time.time() - t0) / reps
+            s_tps = b * max_steps / (t2 - t)
+            steadies[label] = round(s_tps, 2)
+            log(f"[{label}] steady-state slope ({2*max_steps}-{max_steps} "
+                f"steps): {(t2-t)/max_steps*1e3:.2f} ms/tok -> "
+                f"{s_tps:.1f} tok/s")
         return tps, t_lat
 
     # (a) bf16 single-stream + (b) batched decode (interleaved prompts,
@@ -214,7 +241,7 @@ def main():
     # the LM re-initializes from the same PRNG key for the int8 stages.
     log("quantizing to int4...")
     lm_params = gptj.quantize_lm_params_int4(lm_params)
-    tps_int4, _ = bench_generate(lm_params, prompt, "int4 b=1")
+    tps_int4, _ = bench_generate(lm_params, prompt, "int4 b=1", steady=True)
     prompt_b8 = jnp.broadcast_to(prompt, (8, *prompt.shape[1:]))
     tps_int4_b8, _ = bench_generate(lm_params, prompt_b8, "int4 b=8")
     del lm_params
@@ -228,7 +255,8 @@ def main():
     )
     jax.block_until_ready(lm_params["wte"])
     lm_params = gptj.quantize_lm_params(lm_params)  # frees bf16 originals
-    tps_int8, t_int8 = bench_generate(lm_params, prompt, "int8 b=1")
+    tps_int8, t_int8 = bench_generate(lm_params, prompt, "int8 b=1",
+                                  steady=True)
     tps_int8_b8, _ = bench_generate(lm_params, prompt_b8, "int8 b=8")
 
     # (e) long-context: 1984-token prompt + 64 decode steps (prefill
@@ -359,8 +387,14 @@ def main():
     # (/root/reference/configs/MAGMA_v1.yml:8-20); measure that cost, not
     # just the demo-scale one.  b=1 x ga=2 = 2 microbatches/step.
     seq2 = 2048
+    # remat ON here: seq-2048 backward activations (28 x 2048 x 16384
+    # bf16 FFN stack alone is 1.75 GB x layers of temps) blow the 16 GB
+    # chip without it — measured 22.6 GB requested; recompute is the
+    # right trade at this scale (the seq-256 stage keeps remat off, its
+    # activations are only ~56 MB)
     t_cfg2 = dataclasses.replace(
         t_cfg, seq_len=seq2, gradient_accumulation_steps=2, train_steps=6,
+        lm_overrides=dict(t_cfg.lm_overrides, remat=True),
     )
     model2 = Magma(t_cfg2)
     jax.clear_caches()
@@ -417,6 +451,7 @@ def main():
             "image_tokens": int(n_img_tokens),
             "decode_steps": max_steps,
             "decode_p50_call_s": latencies,  # single sync call, RTT incl.
+            "decode_tps_b1_steady": steadies,  # slope, intercept-free
             "timing": "decode_tps_* are pipelined (3 calls, 1 sync) to "
                       "amortize this sandbox's ~33 ms/dispatch tunnel RTT; "
                       "decode_p50_call_s keeps the rounds-1-4 single-call "
