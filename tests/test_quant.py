@@ -217,10 +217,13 @@ def test_serving_adapter_packing():
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 256)) * 0.02
     p0 = gptj.init_params(jax.random.PRNGKey(0), cfg)
     # give adapters trained-scale weights so the packing actually matters
-    for proj in ("down", "up"):
+    # (fixed seeds: hash() is salted per process, and a fresh draw every
+    # run made the bf16-vs-int8 argmax comparison a coin flip that failed
+    # ~rarely — caught by the r5 gate runner)
+    for proj, seed in (("down", 7), ("up", 13)):
         p0["blocks"]["adapter_mlp"][proj]["kernel"] = (
             jax.random.normal(
-                jax.random.PRNGKey(hash(proj) % 1000),
+                jax.random.PRNGKey(seed),
                 p0["blocks"]["adapter_mlp"][proj]["kernel"].shape,
             ) * 0.02
         )

@@ -487,3 +487,22 @@ def test_pipelined_streaming_lags_but_completes(lm):
     res = eng.finished[rid]
     assert res.tokens == seen
     assert len(res.tokens) <= 5
+
+
+def test_engine_int4_weights_match_generate(lm):
+    """The engine is weight-format agnostic: int4-quantized params (the
+    boundary-kernel serving layout) served through the engine must be
+    token-identical to the monolithic generate on the SAME int4 params
+    (on chip the b<=8 decode windows ride the boundary kernel)."""
+    cfg, params = lm
+    params_q = gptj.quantize_lm_params_int4(params)
+    eng = LMServingEngine(cfg, params_q, max_batch=4, max_len=128,
+                          eos_token=EOS, prefill_bucket=8)
+    prompts = [_prompt(i, s, cfg.d_model)
+               for i, s in ((41, 5), (42, 11), (43, 8))]
+    ids = [eng.submit(p, max_new_tokens=12) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(ids, prompts):
+        ref = _reference_tokens(cfg, params_q, p, 12, EOS)
+        assert results[rid].tokens == ref, (
+            f"req {rid}: {results[rid].tokens} != {ref}")
