@@ -57,14 +57,23 @@ def decode_table(detail):
         ("int4 W4A8 (group scales, in-kernel int8 activations, int8 head)",
          "int4"),
     ]
-    lines = ["| mode | b=1 tok/s | b=8 tok/s | b=1 tok/s @ 1984-token ctx |",
-             "|---|---|---|---|"]
+    steadies = detail.get("decode_tps_b1_steady", {})
+    lines = ["| mode | b=1 tok/s | b=1 steady tok/s | b=8 tok/s "
+             "| b=1 tok/s @ 1984-token ctx |",
+             "|---|---|---|---|---|"]
     for label, tag in rows:
         b1 = fmt(detail, f"decode_tps_{tag}_b1")
+        sv = steadies.get(f"{tag} b=1")
+        sd = "—" if sv is None else f"{sv:.1f}"
         b8 = fmt(detail, f"decode_tps_{tag}_b8", nd=0)
         lc = fmt(detail, f"decode_tps_{tag}_b1_ctx1984_kvint8")
         lc = lc if lc == "—" else f"{lc} (int8 KV)"
-        lines.append(f"| {label} | {b1} | {b8} | {lc} |")
+        lines.append(f"| {label} | {b1} | {sd} | {b8} | {lc} |")
+    lines.append("")
+    lines.append("(b=1 = whole 64-step generate calls, prefill included, "
+                 "dispatched back to back; *steady* = marginal per-token "
+                 "rate from the 128-vs-64-step single-call slope — what a "
+                 "long generation pays per token.)")
     return "\n".join(lines)
 
 
@@ -73,13 +82,15 @@ def summary_lines(detail):
     p = fmt(detail, "prefill_tps_int8_s1984", nd=0)
     if p != "—":
         out.append(f"Chunked prefill: {p} tok/s int8 at s=1984.")
-    eo = fmt(detail, "engine_mixed_tps_int8_b8")
-    et = fmt(detail, "engine_mixed_total_tps_int8_b8", nd=0)
-    if eo != "—":
-        tot = (f" ({et} tok/s total incl. prefilled prompt tokens)"
-               if et != "—" else "")
-        out.append("Continuous-batching engine, b=8 mixed stream with "
-                   f"contexts up to 1920: {eo} output tok/s{tot}.")
+    for tag in ("int8", "int4"):
+        eo = fmt(detail, f"engine_mixed_tps_{tag}_b8")
+        et = fmt(detail, f"engine_mixed_total_tps_{tag}_b8", nd=0)
+        if eo != "—":
+            tot = (f" ({et} tok/s total incl. prefilled prompt tokens)"
+                   if et != "—" else "")
+            out.append("Continuous-batching engine, b=8 mixed stream with "
+                       f"contexts up to 1920, {tag} weights: {eo} output "
+                       f"tok/s{tot}.")
     ts = fmt(detail, "train_qlora_s_per_step_b1_seq256", nd=3)
     tt = fmt(detail, "train_qlora_tokens_per_s_per_chip", nd=0)
     if ts != "—":
