@@ -176,9 +176,21 @@ def test_tpu_smoke():
     repo = os.path.dirname(os.path.dirname(__file__))
     inherited = os.environ.get("PYTHONPATH", "")
     env["PYTHONPATH"] = repo + (os.pathsep + inherited if inherited else "")
-    out = subprocess.run(
-        [sys.executable, "-c", SMOKE], env=env, text=True,
-        capture_output=True, timeout=900,
-    )
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", SMOKE], env=env, text=True,
+            capture_output=True, timeout=900,
+        )
+        if out.returncode == 0:
+            break
+        # the tunneled single-client TPU occasionally reports a transient
+        # FAILED_PRECONDITION on the first D2H fetch right after another
+        # process released the chip (seen once in the r5 gate run;
+        # standalone rerun passed) — retry once before declaring failure
+        if "FAILED_PRECONDITION" not in out.stderr or attempt:
+            break
+        import time
+
+        time.sleep(10)
     assert out.returncode == 0, f"smoke failed:\n{out.stdout}\n{out.stderr}"
     assert "TPU SMOKE OK" in out.stdout
